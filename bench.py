@@ -1,0 +1,72 @@
+"""Headline benchmark: K=7 rate-1/2 symbol-update throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Mirrors the reference's hot metric -- symbol-update rate for the viterbi27
+config over 1024-byte frames (ref: src/main.cpp:363-372; rate definition
+scripts/tabulate_data.py:33).  Baseline to beat: 553 Msym/s, the reference's
+best single-core SIMD figure (BASELINE.md, AMD 7735HS sse-u8).
+
+The TPU replaces SIMD lanes with a batch axis: B independent frames decode in
+one fused scan, so per-chip throughput is B frames x T steps x R symbols over
+the wall time of the update phase (symbols pre-staged on device, output
+fetched via block_until_ready -- the analogue of the reference timing only
+the update call, src/main.cpp:264-278).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_SYM_PER_S = 553e6  # BASELINE.md: best reference update rate, K=7 R=2
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=0, help="frames per decode (0 = auto)")
+    p.add_argument("--bytes", type=int, default=1024, help="data bytes per frame")
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ka9q_viterbi_comparison_tpu import VITERBI27, soft8_spec
+    from ka9q_viterbi_comparison_tpu.harness.bench import time_update_phase
+    from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    B = args.batch or (1024 if on_tpu else 8)
+    n_bytes = args.bytes if on_tpu else min(args.bytes, 64)
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if on_tpu else "jnp"
+
+    code, numeric = VITERBI27, soft8_spec(code_R := 2)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    symbols = jax.block_until_ready(encode_frames(code, numeric, jnp.asarray(data)))
+
+    sym_per_s = time_update_phase(
+        code, numeric, symbols, iters=args.iters, backend=backend
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "viterbi27_update_throughput",
+                "value": round(sym_per_s / 1e6, 3),
+                "unit": "Msym/s",
+                "vs_baseline": round(sym_per_s / BASELINE_SYM_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Phase-timed benchmarking.
+
+Reproduces the reference's measurement methodology (ref: src/main.cpp:239-282):
+each iteration times the three lifecycle phases separately --
+reset / update(symbols) / chainback -- and the loop runs until BOTH a
+wall-clock budget and a minimum sample count are exceeded
+(ref: src/main.cpp:257-259; defaults 1.0 s / 8 samples, src/main.cpp:300-310).
+Raw per-iteration nanosecond samples are kept, not aggregates
+(ref: src/main.cpp:99-108); statistics happen downstream in the analysis
+scripts exactly as in the reference.
+
+On TPU a "phase" is a jitted program: we pre-compile (warm-up call), then time
+dispatch -> ``block_until_ready`` per phase.  The batch axis B means one
+iteration decodes B frames, so the JSON bookkeeping counts B x frame sizes --
+the schema stays valid for the reference's analysis scripts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CodeSpec, NumericSpec
+from ..ops import acs, chainback as cb
+from ..utils.bits import count_bit_errors
+
+__all__ = ["PhaseSample", "BenchResult", "run_phase_bench", "time_update_phase"]
+
+
+@dataclasses.dataclass
+class PhaseSample:
+    init_ns: int
+    update_ns: int
+    chainback_ns: int
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    code: CodeSpec
+    batch: int
+    frame_bytes: int
+    sampling_time: float
+    minimum_samples: int
+    samples: list[PhaseSample]
+    total_bit_errors: int
+
+    @property
+    def total_input_bytes(self) -> int:
+        return self.batch * self.frame_bytes
+
+    @property
+    def total_transmit_bits(self) -> int:
+        return self.batch * self.code.transmit_bits(self.frame_bytes)
+
+    @property
+    def total_output_symbols(self) -> int:
+        return self.batch * self.code.total_symbols(self.frame_bytes)
+
+    @property
+    def total_bits(self) -> int:
+        return self.total_input_bytes * 8
+
+    def to_json_obj(self) -> dict:
+        """Reference-schema JSON object (ref: print_test, src/main.cpp:80-118)."""
+        return {
+            "name": self.name,
+            "K": self.code.K,
+            "R": self.code.R,
+            "poly": list(self.code.polys),
+            "total_input_bytes": self.total_input_bytes,
+            "total_transmit_bits": self.total_transmit_bits,
+            "total_output_symbols": self.total_output_symbols,
+            "sampling_time": self.sampling_time,
+            "minimum_samples": self.minimum_samples,
+            "total_samples": len(self.samples),
+            "init_ns": [s.init_ns for s in self.samples],
+            "update_ns": [s.update_ns for s in self.samples],
+            "chainback_ns": [s.chainback_ns for s in self.samples],
+            "total_bits": self.total_bits,
+            "total_bit_errors": self.total_bit_errors,
+            "bit_error_rate": self.total_bit_errors / float(self.total_bits),
+        }
+
+
+def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_data_bits: int):
+    """Return (init_fn, update_fn, chainback_fn) jittables for a backend."""
+    if backend == "pallas":
+        from ..ops.pallas import dispatch
+
+        return dispatch.phase_fns(code, numeric, num_data_bits)
+
+    if backend == "native":
+        from ..utils import native as native_mod
+
+        decoders: list = []
+
+        def init_fn(batch: int):
+            if not decoders:
+                decoders.extend(
+                    native_mod.HostDecoder(code, numeric, max_steps=0)
+                    for _ in range(batch)
+                )
+            for d in decoders:
+                d.reset()
+            return None
+
+        def update_fn(metrics, symbols):
+            sym_np = np.asarray(symbols)  # [B, T, R] -> host
+            for d, s in zip(decoders, sym_np):
+                d.update(s)
+            return None, None, None
+
+        def chainback_fn(words):
+            return np.stack([d.chainback(num_data_bits // 8)[0] for d in decoders])
+
+        return init_fn, update_fn, chainback_fn
+
+    fused = code.K > 15
+
+    def init_fn(batch: int):
+        return acs.init_metrics(code, numeric, batch)
+
+    def update_fn(metrics, symbols):
+        return acs.acs_update(code, numeric, metrics, symbols, fused)
+
+    def chainback_fn(words):
+        return cb.chainback(code, words, num_data_bits)
+
+    return init_fn, update_fn, chainback_fn
+
+
+def run_phase_bench(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    data: np.ndarray,
+    symbols: jnp.ndarray,
+    name: str = "tpu_jnp",
+    backend: str = "jnp",
+    sampling_time: float = 1.0,
+    minimum_samples: int = 8,
+) -> BenchResult:
+    """Benchmark one (code, numeric, backend) combo over pre-encoded frames.
+
+    ``data``: [B, N] uint8 originals; ``symbols``: [B, T*R] on device.
+    """
+    B, n_bytes = data.shape
+    symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
+    num_data_bits = n_bytes * 8
+    init_fn, update_fn, chainback_fn = _phases_for_backend(
+        code, numeric, backend, num_data_bits
+    )
+
+    # Warm-up / compile all three phases once.
+    metrics = jax.block_until_ready(init_fn(B))
+    _, words, _ = jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))
+    out = jax.block_until_ready(chainback_fn(words))
+
+    samples: list[PhaseSample] = []
+    t_start = time.perf_counter()
+    while (time.perf_counter() - t_start) < sampling_time or len(samples) < minimum_samples:
+        t0 = time.perf_counter_ns()
+        metrics = jax.block_until_ready(init_fn(B))
+        t1 = time.perf_counter_ns()
+        _, words, _ = jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))
+        t2 = time.perf_counter_ns()
+        out = jax.block_until_ready(chainback_fn(words))
+        t3 = time.perf_counter_ns()
+        samples.append(PhaseSample(t1 - t0, t2 - t1, t3 - t2))
+
+    errors = count_bit_errors(np.asarray(out), data)
+    return BenchResult(
+        name=name,
+        code=code,
+        batch=B,
+        frame_bytes=n_bytes,
+        sampling_time=sampling_time,
+        minimum_samples=minimum_samples,
+        samples=samples,
+        total_bit_errors=errors,
+    )
+
+
+def time_update_phase(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    symbols: jnp.ndarray,
+    iters: int = 5,
+    backend: str = "jnp",
+) -> float:
+    """Median symbol-update throughput (symbols/s) over ``iters`` timed runs."""
+    B = symbols.shape[0]
+    symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
+    T = symbols.shape[1]
+    init_fn, update_fn, _ = _phases_for_backend(code, numeric, backend, 8)
+    metrics = jax.block_until_ready(init_fn(B))
+    jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))  # compile
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))
+        times.append(time.perf_counter() - t0)
+    total_symbols = B * T * code.R
+    return total_symbols / float(np.median(times))

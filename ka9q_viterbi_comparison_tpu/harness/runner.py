@@ -1,0 +1,155 @@
+"""Benchmark runner: the TPU framework's analogue of the reference binary.
+
+CLI mirrors ``./main -t SECS -n MIN_SAMPLES -o FILE``
+(ref: src/main.cpp:300-330) and the emitted JSON keeps the reference's
+per-test schema verbatim (ref: print_test, src/main.cpp:80-118) so the
+reference's analysis scripts -- and this repo's re-implementations in
+``scripts/`` -- work on either implementation's output.
+
+The test matrix is the reference's six configs at its frame sizes
+(ref: src/main.cpp:363-419); "decoder families" become TPU backends:
+
+* ``jnp``    -- the portable XLA scan path (every config).
+* ``pallas`` -- the fused VMEM kernels (K <= 15 configs).
+
+Progress goes to stderr, samples to the JSON file -- the reference's two
+output channels (ref: src/main.cpp:27-31).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (
+    BENCH_FRAME_BYTES,
+    STANDARD_CODES,
+    CodeSpec,
+    soft8_spec,
+)
+from ..ops.encoder import encode_frames
+from .bench import run_phase_bench
+
+__all__ = ["main", "run_matrix"]
+
+# Batch sizes per config: the TPU's throughput axis.  Sized so decision
+# storage stays comfortably in HBM (K=24's is ~1 MiB per frame per bit).
+DEFAULT_BATCH = {
+    "viterbi27": 1024,
+    "viterbi47": 1024,
+    "viterbi29": 512,
+    "viterbi49": 512,
+    "viterbi615": 64,
+    "viterbi224": 4,
+}
+
+
+# Frames per iteration for the serial cpu_native family (kept small: it is
+# the comparison baseline, not the throughput path).
+NATIVE_BATCH = {
+    "viterbi27": 8, "viterbi47": 8, "viterbi29": 8, "viterbi49": 8,
+    "viterbi615": 2, "viterbi224": 1,
+}
+
+
+def backends_for(code: CodeSpec) -> list[str]:
+    from ..ops.pallas import dispatch
+    from ..utils import native
+
+    out = []
+    if dispatch.supports(code) and dispatch.on_tpu():
+        out.append("pallas")
+    out.append("jnp")
+    if native.available():
+        out.append("native")
+    return out
+
+
+def run_matrix(
+    sampling_time: float,
+    minimum_samples: int,
+    out_fp,
+    codes=STANDARD_CODES,
+    batch_override: int | None = None,
+    frame_bytes_override: int | None = None,
+    seed: int = 0,
+) -> None:
+    rng = np.random.default_rng(seed)
+    out_fp.write("[\n")
+    first = True
+    for code in codes:
+        numeric = soft8_spec(code.R)
+        n_bytes = frame_bytes_override or BENCH_FRAME_BYTES[code.name]
+        B = batch_override or DEFAULT_BATCH[code.name]
+        print(f"[{code.name}] K={code.K} R={code.R} bytes={n_bytes} batch={B}",
+              file=sys.stderr, flush=True)
+        data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+        symbols = jax.block_until_ready(encode_frames(code, numeric, jnp.asarray(data)))
+        for backend in backends_for(code):
+            print(f"- {backend}", file=sys.stderr, flush=True)
+            if backend == "native":
+                nb = min(B, NATIVE_BATCH[code.name])
+                b_data, b_syms, name = data[:nb], symbols[:nb], "cpu_native"
+            else:
+                b_data, b_syms, name = data, symbols, f"tpu_{backend}"
+            result = run_phase_bench(
+                code, numeric, b_data, b_syms,
+                name=name, backend=backend,
+                sampling_time=sampling_time, minimum_samples=minimum_samples,
+            )
+            ber = result.total_bit_errors / float(result.total_bits)
+            print(f"o {backend} ({ber:.3f})", file=sys.stderr, flush=True)
+            if not first:
+                out_fp.write(",\n")
+            first = False
+            json.dump(result.to_json_obj(), out_fp)
+    out_fp.write("\n]\n")
+    out_fp.flush()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        "run_benchmark",
+        description="Benchmark the TPU-native Viterbi decoder families",
+    )
+    p.add_argument("-t", "--sampling-time", type=float, default=1.0,
+                   metavar="SAMPLING_TIME", help="Amount of time to run decoder")
+    p.add_argument("-n", "--minimum-samples", type=int, default=8,
+                   metavar="MINIMUM_SAMPLES",
+                   help="Minimum number of samples to accumulate")
+    p.add_argument("-o", "--output", default="./data/benchmark.json",
+                   metavar="OUTPUT_FILENAME", help="Filename to output sample data")
+    p.add_argument("--codes", nargs="*", default=None,
+                   help="Subset of config names (default: all six)")
+    p.add_argument("--batch", type=int, default=None, help="Override batch size")
+    p.add_argument("--frame-bytes", type=int, default=None,
+                   help="Override data bytes per frame")
+    args = p.parse_args(argv)
+
+    codes = STANDARD_CODES
+    if args.codes:
+        by_name = {c.name: c for c in STANDARD_CODES}
+        unknown = [n for n in args.codes if n not in by_name]
+        if unknown:
+            p.error(f"unknown config(s): {unknown}; choose from {sorted(by_name)}")
+        codes = tuple(by_name[n] for n in args.codes)
+
+    if args.output == "-":
+        run_matrix(args.sampling_time, args.minimum_samples, sys.stdout, codes,
+                   args.batch, args.frame_bytes)
+    else:
+        import os
+
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        with open(args.output, "w") as f:
+            run_matrix(args.sampling_time, args.minimum_samples, f, codes,
+                       args.batch, args.frame_bytes)
+
+
+if __name__ == "__main__":
+    main()

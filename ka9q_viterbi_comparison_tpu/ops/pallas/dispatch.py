@@ -1,0 +1,164 @@
+"""Backend dispatch for the Pallas kernels.
+
+Bridges the framework's batch-major public API (``[B, ...]`` arrays, the
+layout the jnp reference path uses) to the kernels' state-major ``[S, B]``
+layout, handling batch padding to the 128-lane width, time padding to the
+kernel's block size, interpreter mode off-TPU, and the K=24 fallback (the
+8M-state metric vector exceeds VMEM; it runs on the fused jnp scan until the
+state-sharded kernel lands).
+
+``phase_fns`` returns the three lifecycle phases in *native* kernel layout
+with no transposes between phases -- the configuration the benchmark measures.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...configs import CodeSpec, NumericSpec
+from ...utils.bits import bits_to_bytes
+from .. import acs, chainback as cb
+from . import kernels
+
+__all__ = ["acs_update", "chainback", "phase_fns", "supports", "on_tpu"]
+
+LANES = 128
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def supports(code: CodeSpec) -> bool:
+    """VMEM-resident kernels need the whole metric vector on chip."""
+    return code.K <= 15
+
+
+def fits_vmem(code: CodeSpec, batch_padded: int) -> bool:
+    """Whether the update kernel's resident buffers fit the chip's VMEM at
+    this (padded) batch size."""
+    S = code.num_states
+    W = max(1, S // 32)
+    TB = kernels.pick_time_block(code, batch_padded)
+    need = (
+        (S // 2) * 4 * code.R * 4
+        + 2 * TB * code.R * batch_padded * 4
+        + 3 * S * batch_padded * 4
+        + 2 * TB * W * batch_padded * 4
+    )
+    return need * 1.25 <= kernels.VMEM_CAP
+
+
+def _pad_batch(B: int) -> int:
+    if not on_tpu():
+        return B
+    return -(-B // LANES) * LANES
+
+
+def _pad_time(code: CodeSpec, T: int, B: int) -> int:
+    TB = kernels.pick_time_block(code, B)
+    return -(-T // TB) * TB
+
+
+def unpack_bit_words(bits_words: jnp.ndarray, T: int) -> jnp.ndarray:
+    """``[Tp//32, B]`` uint32 -> trellis bits ``[B, T]`` uint8."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (bits_words[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)
+    Tp32, _, B = bits.shape
+    return bits.reshape(Tp32 * 32, B).T[:, :T].astype(jnp.uint8)
+
+
+def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbols: jnp.ndarray):
+    """Batch-major wrapper matching ``ops.acs.acs_update``'s contract:
+    ``(metrics [B,S], symbols [B,T,R]) -> (metrics, words [B,T,W], offset)``.
+    """
+    B, T, R = symbols.shape
+    Bp = _pad_batch(B)
+    if not supports(code) or not fits_vmem(code, Bp):
+        return acs.acs_update(code, numeric, metrics, symbols, code.K > 15)
+    Tp = _pad_time(code, T, Bp)
+    sym = jnp.pad(symbols, ((0, Bp - B), (0, Tp - T), (0, 0)))
+    m = jnp.pad(metrics, ((0, Bp - B), (0, 0)))
+    m_sb, dec = kernels.acs_update_tb(
+        code, numeric, m.T, sym.transpose(1, 2, 0),
+        jnp.int32(T), not on_tpu(),
+    )
+    words = dec[:T].transpose(2, 0, 1)[:B]  # [B, T, W]
+    offset = jnp.zeros((B,), dtype=jnp.int32)
+    return m_sb.T[:B], words, offset
+
+
+def chainback(code: CodeSpec, words: jnp.ndarray, num_data_bits: int, endstate=0) -> jnp.ndarray:
+    """Batch-major wrapper matching ``ops.chainback.chainback``'s contract."""
+    if not supports(code):
+        return cb.chainback(code, words, num_data_bits, endstate)
+    B, T, W = words.shape
+    Bp = _pad_batch(B)
+    Tp = _pad_time(code, T, Bp)
+    w = jnp.pad(words, ((0, Bp - B), (0, Tp - T), (0, 0)))
+    end = jnp.broadcast_to(
+        jnp.asarray(endstate, dtype=jnp.int32) & (code.num_states - 1), (1, Bp)
+    )
+    bits_words = kernels.chainback_tb(
+        code, w.transpose(1, 2, 0), end, jnp.int32(T), not on_tpu()
+    )
+    bits = unpack_bit_words(bits_words, T)[:B]
+    return bits_to_bytes(bits[:, code.K - 1 : code.K - 1 + num_data_bits])
+
+
+def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
+    """Native-layout lifecycle phases for benchmarking: no layout conversion
+    between update and chainback (symbols are transposed once on input)."""
+    if not supports(code):
+        fused = True
+
+        def init_fn(batch):
+            return acs.init_metrics(code, numeric, batch)
+
+        def update_fn(metrics, symbols):
+            return acs.acs_update(code, numeric, metrics, symbols, fused)
+
+        def chainback_fn(words):
+            return cb.chainback(code, words, num_data_bits)
+
+        return init_fn, update_fn, chainback_fn
+
+    interp = not on_tpu()
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def init_fn(batch):
+        Bp = _pad_batch(batch)
+        m = acs.init_metrics(code, numeric, Bp)
+        return m.T  # [S, B]
+
+    @jax.jit
+    def _update_impl(metrics_sb, symbols):
+        B, T, R = symbols.shape
+        Bp = metrics_sb.shape[1]
+        Tp = _pad_time(code, T, Bp)
+        sym = jnp.pad(symbols, ((0, Bp - B), (0, Tp - T), (0, 0))).transpose(1, 2, 0)
+        m, dec = kernels.acs_update_tb(code, numeric, metrics_sb, sym, jnp.int32(T), interp)
+        # Native-layout decisions; zero renorm offset (int32 metrics).
+        return m, dec, jnp.zeros((B,), dtype=jnp.int32)
+
+    def update_fn(metrics_sb, symbols):
+        B, T, _ = symbols.shape  # static shape ints for the chainback phase
+        m, dec, off = _update_impl(metrics_sb, symbols)
+        return m, (dec, T, B), off
+
+    def chainback_fn(words_native):
+        dec, T, B = words_native
+        return _chainback_native(dec, T, B)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _chainback_native(dec, T, B):
+        Bp = dec.shape[2]
+        end = jnp.zeros((1, Bp), dtype=jnp.int32)
+        bits_words = kernels.chainback_tb(code, dec, end, jnp.int32(T), interp)
+        bits = unpack_bit_words(bits_words, T)[:B]
+        return bits_to_bytes(bits[:, code.K - 1 : code.K - 1 + num_data_bits])
+
+    return init_fn, update_fn, chainback_fn

@@ -1,0 +1,326 @@
+"""Fused Pallas TPU kernels for the Viterbi hot loops.
+
+Re-design of the reference's two hot loops for the TPU memory hierarchy
+(ref: ka9q_libfec_port/viterbi27_sse2.cpp:119-175 update, :78-105 chainback):
+
+* Layout is **state-major** ``[S, B]``: trellis states on sublanes, a batch of
+  B independent frames on the 128-wide lanes.  The reference's 16-SIMD-lane
+  state parallelism becomes whole-vector ops over S; the batch axis B is the
+  new parallelism the TPU adds (the reference decodes one frame at a time,
+  ref: src/main.cpp:168).
+* The per-bit C loop becomes a ``fori_loop`` inside one kernel invocation;
+  the grid tiles time into blocks so symbols / decision words stream
+  HBM<->VMEM through Pallas's pipeline while **path metrics stay resident in
+  VMEM scratch across the whole frame** -- the scan carry never touches HBM
+  (the reference's pointer-swapped metric buffers, viterbi27_sse2.cpp:167-171,
+  live entirely on-chip here).
+* Decisions are bit-packed along the state axis into uint32 words ``[W, B]``
+  per step (W = S/32), the same state-indexed packing as the reference's
+  decision unions (ref: viterbi615_sse2.cpp:13) -- built with a
+  multiply-by-powers-of-two sublane reduction instead of movemask.
+* Chainback walks the packed words backward with the time grid reversed; the
+  per-step word lookup is a one-hot select over the W sublanes, and the
+  serial bit-recurrence runs across all B lanes at once.
+
+Metrics are int32: headroom makes the reference's renormalisation machinery
+(ref: viterbi615_sse2.cpp:157-183) unnecessary for correctness; decisions are
+bit-identical to the renormalising jnp path because renorm only ever
+subtracts a constant from every state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...configs import CodeSpec, NumericSpec
+from ..branch import transition_tables
+
+__all__ = ["acs_update_tb", "chainback_tb", "pick_time_block", "SUBLANE_PACK"]
+
+SUBLANE_PACK = 32  # decision bits per packed word
+
+# Usable VMEM on the target chip (v5e: 128 MiB physical; leave headroom for
+# the compiler's own scoped allocations).
+VMEM_CAP = 110 * 1024 * 1024
+
+
+def _vmem_limit(*buffer_bytes: int) -> int:
+    """Scoped-VMEM limit for a kernel: sum of resident buffers (pipelined
+    blocks counted twice for double buffering by the caller) + 25% slack."""
+    need = int(sum(buffer_bytes) * 1.25)
+    return min(max(need, 16 * 1024 * 1024), VMEM_CAP)
+
+
+def _pack_weights(B: int) -> jnp.ndarray:
+    """``[1, 32, 1]`` int32 bit weights 1 << j, built in-kernel (Pallas
+    kernels cannot capture host constants).  1 << 31 wraps negative; only the
+    bit pattern matters -- packed words are bitcast to uint32 downstream."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+    return jax.lax.shift_left(jnp.ones((1, 32, 1), dtype=jnp.int32), j)
+
+
+def pick_time_block(code: CodeSpec, batch: int, vmem_budget: int = 2 * 1024 * 1024) -> int:
+    """Time-block size: bounded by the VMEM footprint of the streamed blocks
+    (symbols in, decision words out), rounded to a multiple of 32."""
+    S = code.num_states
+    W = max(1, S // 32)
+    per_step = (code.R + W) * batch * 4  # int32 symbols + uint32 words
+    tb = max(32, min(512, vmem_budget // max(per_step, 1)))
+    return (tb // 32) * 32
+
+
+def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int):
+    S = code.num_states
+    S2 = S // 2
+    W = max(1, S // 32)
+    R = code.R
+    low = numeric.soft_low
+    hl = numeric.soft_high + numeric.soft_low
+
+    def kernel(t_real_ref, e_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
+        # sym_ref: [TB, R, B] int32; e_ref: [S2, 4*R] int32;
+        # m_in/m_out: [S, B] int32; dec_ref: [TB, W, B] int32 (uint32 bits).
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            m_scr[:] = m_in_ref[:]
+
+        t_real = t_real_ref[0]
+        t_base = pl.program_id(0) * TB
+
+        def step(t, _):
+            sym = sym_ref[t]  # [R, B]
+            # Affine branch-penalty pieces (ref metric identity: penalty for
+            # expected bit e and symbol y is (y-low) + e*(high+low-2y),
+            # reproducing ka9q's XOR-negation metric, viterbi27_sse2.cpp:137-146).
+            base = jnp.zeros((1, sym.shape[1]), dtype=jnp.int32)
+            for r in range(R):
+                base = base + (sym[r : r + 1] - low)
+            pens = []
+            for x in range(4):  # x = h*2 + b
+                p = base
+                for r in range(R):
+                    e = e_ref[:, x * R + r : x * R + r + 1]  # [S2, 1]
+                    coef = hl - 2 * sym[r : r + 1]           # [1, B]
+                    p = p + e * coef
+                pens.append(p)  # [S2, B]
+
+            m = m_scr[:]
+            mlo = m[:S2]
+            mhi = m[S2:]
+            cands = []
+            decs = []
+            for b in (0, 1):
+                c_lo = mlo + pens[0 * 2 + b]
+                c_hi = mhi + pens[1 * 2 + b]
+                d = c_hi < c_lo  # ties keep the low predecessor (ka9q cmpgt,
+                #                  ref: viterbi27_sse2.cpp:155-156)
+                cands.append(jnp.where(d, c_hi, c_lo))
+                decs.append(d.astype(jnp.int32))  # i1 vregs can't be relaid out
+            # Interleave along sublanes: new[2*s2 + b] = cands[b][s2].
+            B = m.shape[1]
+            new = jnp.stack(cands, axis=1).reshape(S, B)
+            dec = jnp.stack(decs, axis=1).reshape(S, B)
+
+            valid = (t_base + t) < t_real
+            m_scr[:] = jnp.where(valid, new, m)
+
+            # Pack 32 state-decisions per uint32 word (movemask analogue).
+            if S >= 32:
+                w = dec.reshape(W, 32, B) * _pack_weights(B)
+            else:
+                pad = jnp.zeros((32 - S, B), dtype=jnp.int32)
+                w = jnp.concatenate([dec, pad], axis=0).reshape(1, 32, B) * _pack_weights(B)
+            dec_ref[t] = w.sum(axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, TB, step, 0)
+
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            m_out_ref[:] = m_scr[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def acs_update_tb(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    metrics_sb: jnp.ndarray,
+    symbols_trb: jnp.ndarray,
+    t_real: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Fused ACS over a whole frame in state-major layout.
+
+    Args:
+      metrics_sb: ``[S, B]`` int32.
+      symbols_trb: ``[Tp, R, B]`` int32, Tp a multiple of the time block.
+      t_real: scalar int32 -- true number of trellis steps (<= Tp); steps
+        beyond it leave the metrics untouched.
+
+    Returns ``(metrics [S, B] int32, dec_words [Tp, W, B] uint32)``.
+    """
+    S, B = metrics_sb.shape
+    Tp, R, _ = symbols_trb.shape
+    W = max(1, S // 32)
+    TB = pick_time_block(code, B)
+    if Tp % TB != 0:
+        raise ValueError(f"padded T={Tp} not a multiple of time block {TB}")
+
+    e_tab = transition_tables(code).astype(np.int32)  # [4, R, S2]
+    e_in = jnp.asarray(e_tab.transpose(2, 0, 1).reshape(S // 2, 4 * R))
+
+    grid = (Tp // TB,)
+    kernel = _acs_kernel(code, numeric, TB)
+    m_out, dec = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((S // 2, 4 * R), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, R, B), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, B), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((S, B), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, W, B), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, W, B), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(
+                (S // 2) * 4 * R * 4,      # e table
+                2 * TB * R * B * 4,        # symbol blocks (double-buffered)
+                3 * S * B * 4,             # m_in + m_out + scratch
+                2 * TB * W * B * 4,        # decision blocks (double-buffered)
+            ),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([t_real], dtype=jnp.int32), e_in, symbols_trb, metrics_sb)
+    return m_out, jax.lax.bitcast_convert_type(dec, jnp.uint32)
+
+
+def _chainback_kernel(code: CodeSpec, TB: int):
+    S = code.num_states
+    W = max(1, S // 32)
+    K = code.K
+
+    def kernel(t_real_ref, dec_ref, end_ref, bits_ref, state_scr):
+        # dec_ref: [TB, W, B] int32 words (time grid reversed);
+        # end_ref: [1, B] int32; bits_ref: [Tp//32, B] int32 packed output --
+        # the FULL (small) bits array stays VMEM-resident across the grid and
+        # is written at global word offsets (a time-blocked spec would need
+        # TB/32 sublane alignment Mosaic rejects for small blocks).
+        nb = pl.num_programs(0)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            state_scr[:] = end_ref[:]
+
+        t_real = t_real_ref[0]
+        # This grid step covers global steps [t_base, t_base + TB), walked in
+        # reverse (the grid's index_map already reversed the block order).
+        t_base = (nb - 1 - i) * TB
+        B = end_ref.shape[1]
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+
+        def step(j, acc):
+            t = TB - 1 - j  # walk time in reverse
+            state = state_scr[:]  # [1, B]
+            words = dec_ref[t]    # [W, B]
+            # One-hot word select over the W sublanes (the reference's
+            # d[s >> 5] indexing, viterbi615_sse2.cpp:86).
+            sel = (w_iota == (state >> 5)).astype(jnp.int32)
+            word = jnp.sum(sel * words, axis=0, keepdims=True)  # [1, B]
+            k = jax.lax.shift_right_logical(word, state & 31) & 1
+            new_state = jax.lax.shift_right_logical(state, 1) | (k << (K - 2))
+            valid = (t_base + t) < t_real
+            state_scr[:] = jnp.where(valid, new_state, state)
+            k = jnp.where(valid, k, 0)
+            # Accumulate decoded bits, 32 steps per packed word (bit t%32 =
+            # step t); in reverse order a word's last visit is t % 32 == 0.
+            acc = jnp.where((t & 31) == 31, jnp.zeros_like(acc), acc) | (k << (t & 31))
+
+            @pl.when((t & 31) == 0)
+            def _():
+                bits_ref[pl.ds(t_base // 32 + t // 32, 1)] = acc
+
+            return acc
+
+        acc0 = jnp.zeros((1, B), dtype=jnp.int32)
+        jax.lax.fori_loop(0, TB, step, acc0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def chainback_tb(
+    code: CodeSpec,
+    dec_words: jnp.ndarray,
+    endstate: jnp.ndarray,
+    t_real: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Traceback over state-major packed decisions.
+
+    Args:
+      dec_words: ``[Tp, W, B]`` uint32/int32 from ``acs_update_tb``.
+      endstate: ``[1, B]`` int32 survivor state at step ``t_real``.
+      t_real: scalar int32; steps >= t_real are skipped (state holds).
+
+    Returns packed trellis bits ``[Tp // 32, B]`` uint32 -- bit ``t % 32`` of
+    word ``t // 32`` is the walk output at step t (data bit ``t - K + 1``).
+    """
+    Tp, W, B = dec_words.shape
+    TB = pick_time_block(code, B)
+    if Tp % TB != 0:
+        raise ValueError(f"padded T={Tp} not a multiple of time block {TB}")
+    nb = Tp // TB
+
+    kernel = _chainback_kernel(code, TB)
+    bits = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((TB, W, B), lambda i, *_: (nb - 1 - i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Tp // 32, B), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((Tp // 32, B), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_vmem_limit(
+                2 * TB * W * B * 4,        # decision blocks (double-buffered)
+                (Tp // 32) * B * 4,        # resident bits output
+                2 * B * 4,                 # end state + scratch
+            ),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([t_real], dtype=jnp.int32),
+        jax.lax.bitcast_convert_type(dec_words, jnp.int32),
+        endstate.astype(jnp.int32),
+    )
+    return jax.lax.bitcast_convert_type(bits[0], jnp.uint32)

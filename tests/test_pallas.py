@@ -1,0 +1,71 @@
+"""Pallas kernel correctness vs the jnp scan path (interpreter mode on CPU).
+
+The jnp path is itself validated against the NumPy oracle and the noiseless
+round-trip invariant, so agreement here transitively validates the kernels
+(the reference's cross-implementation oracle strategy, SURVEY §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ka9q_viterbi_comparison_tpu import (
+    VITERBI27,
+    VITERBI29,
+    VITERBI47,
+    VITERBI615,
+    ViterbiDecoder,
+    soft8_spec,
+    soft16_spec,
+)
+from ka9q_viterbi_comparison_tpu.ops import acs
+from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
+from ka9q_viterbi_comparison_tpu.ops.pallas import dispatch
+from ka9q_viterbi_comparison_tpu.utils.bits import count_bit_errors
+
+CASES = [
+    (VITERBI27, 32),
+    (VITERBI47, 32),
+    (VITERBI29, 16),
+    (VITERBI615, 4),
+]
+
+
+@pytest.mark.parametrize("code,n_bytes", CASES, ids=lambda c: getattr(c, "name", c))
+def test_pallas_update_matches_jnp(code, n_bytes, rng):
+    numeric = soft8_spec(code.R)
+    B = 3
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    m_pl, words_pl, _ = dispatch.acs_update(code, numeric, m0, syms)
+
+    np.testing.assert_array_equal(np.asarray(m_pl), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(words_pl), np.asarray(words_ref))
+
+
+@pytest.mark.parametrize("code,n_bytes", CASES[:2], ids=lambda c: getattr(c, "name", c))
+def test_pallas_chainback_roundtrip(code, n_bytes, rng):
+    numeric = soft8_spec(code.R)
+    B = 2
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data))
+    dec = ViterbiDecoder(code, numeric, batch=B, backend="pallas")
+    dec.update(syms)
+    out = dec.chainback(n_bytes * 8)
+    assert count_bit_errors(np.asarray(out), data) == 0
+
+
+def test_pallas_phase_fns_roundtrip(rng):
+    code = VITERBI29
+    numeric = soft16_spec(code.R)
+    B, n_bytes = 2, 16
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+
+    init_fn, update_fn, chainback_fn = dispatch.phase_fns(code, numeric, n_bytes * 8)
+    m = init_fn(B)
+    _, words, _ = update_fn(m, syms)
+    out = chainback_fn(words)
+    assert count_bit_errors(np.asarray(out), data) == 0
