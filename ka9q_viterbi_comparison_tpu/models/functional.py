@@ -27,10 +27,17 @@ def decode_symbols(
     numeric: NumericSpec,
     symbols: jnp.ndarray,
     num_data_bits: int,
-    fused_penalties: bool = False,
+    fused_penalties: bool | None = None,
 ) -> jnp.ndarray:
     """Decode tail-terminated frames ``[B, T*R]`` int32 -> bytes
-    ``[B, num_data_bits // 8]`` uint8 in one compiled program."""
+    ``[B, num_data_bits // 8]`` uint8 in one compiled program.
+
+    ``fused_penalties=None`` auto-selects: large trellises (K > 15) must
+    compute penalties inside the scan (the whole-frame penalty tensor is
+    [T, B, 4, S/2] -- tens of GB for K=24).
+    """
+    if fused_penalties is None:
+        fused_penalties = code.K > 15
     B = symbols.shape[0]
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     metrics = acs.init_metrics(code, numeric, B)

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import CodeSpec, NumericSpec
-from .branch import branch_penalties, penalty_base_and_coef, transition_tables
+from .branch import branch_penalties, penalty_base_and_coef, transition_tables_jnp
 
 __all__ = ["init_metrics", "acs_update", "acs_step"]
 
@@ -119,7 +119,7 @@ def acs_update(
     interval = numeric.renorm_interval
 
     if fused_penalties:
-        tables = jnp.asarray(transition_tables(code), dtype=jnp.int32)  # [4,R,S/2]
+        tables = transition_tables_jnp(code)  # [4, R, S/2] int32, on device
 
         def body(carry, xs):
             m, off = carry

@@ -24,12 +24,18 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..configs import CodeSpec, NumericSpec
 
-__all__ = ["transition_tables", "branch_penalties", "penalty_base_and_coef"]
+__all__ = [
+    "transition_tables",
+    "transition_tables_jnp",
+    "branch_penalties",
+    "penalty_base_and_coef",
+]
 
 
 @functools.lru_cache(maxsize=None)
@@ -54,6 +60,34 @@ def transition_tables(code: CodeSpec) -> np.ndarray:
     return out
 
 
+def transition_tables_jnp(code: CodeSpec) -> jnp.ndarray:
+    """``transition_tables`` computed *on device* from an iota (int32
+    ``[4, R, S/2]``).
+
+    Identical values to the NumPy builder, but traced as a handful of
+    shift/xor vector ops instead of being embedded as a literal -- for K=24
+    the materialised table is 128 MiB of int32, which would otherwise bloat
+    the compiled program beyond what the compiler accepts.  Uses the parity
+    decomposition ``parity(((s2<<1)|b|(h<<(K-1))) & p)
+    = parity(s2 & (p>>1)) ^ (b & p) ^ (h & (p>>(K-1)))``.
+    """
+    K = code.K
+    half = code.num_states // 2
+    s2 = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)[:, 0]
+    rows = []
+    for h in (0, 1):
+        for b in (0, 1):
+            per_r = []
+            for p, inv in zip(code.abs_polys(), code.inversions()):
+                x = s2 & (p >> 1)
+                for shift in (16, 8, 4, 2, 1):
+                    x = x ^ (x >> shift)
+                e = (x & 1) ^ ((b & p & 1) ^ (h & (p >> (K - 1)) & 1) ^ (1 if inv else 0))
+                per_r.append(e)
+            rows.append(jnp.stack(per_r, axis=0))  # [R, S/2]
+    return jnp.stack(rows, axis=0)  # [4, R, S/2]
+
+
 def penalty_base_and_coef(numeric: NumericSpec, symbols: jnp.ndarray):
     """Split symbols ``[..., R]`` int32 into the affine pieces of the branch
     penalty: ``base = sum_r (sym_r - low)`` and ``coef_r = high + low - 2 sym_r``.
@@ -67,7 +101,7 @@ def penalty_base_and_coef(numeric: NumericSpec, symbols: jnp.ndarray):
 
 @functools.partial(jnp.vectorize, excluded=(0, 1), signature="(t,r)->(t,x,s)")
 def _branch_penalties_impl(code, numeric, symbols):
-    tables = jnp.asarray(transition_tables(code), dtype=jnp.int32)  # [4, R, S/2]
+    tables = transition_tables_jnp(code)  # [4, R, S/2] int32, on device
     base, coef = penalty_base_and_coef(numeric, symbols)  # [T], [T, R]
     half = code.num_states // 2
     e_mat = tables.transpose(1, 0, 2).reshape(code.R, 4 * half)

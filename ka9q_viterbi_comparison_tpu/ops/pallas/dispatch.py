@@ -49,7 +49,7 @@ def fits_vmem(code: CodeSpec, batch_padded: int) -> bool:
         + 3 * S * batch_padded * 4
         + 2 * TB * W * batch_padded * 4
     )
-    return need * 1.25 <= kernels.VMEM_CAP
+    return need * 2.5 <= kernels.VMEM_CAP
 
 
 def _pad_batch(B: int) -> int:

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...configs import CodeSpec, NumericSpec
-from ..branch import transition_tables
+from ..branch import transition_tables_jnp
 
 __all__ = ["acs_update_tb", "chainback_tb", "pick_time_block", "SUBLANE_PACK"]
 
@@ -52,8 +52,10 @@ VMEM_CAP = 110 * 1024 * 1024
 
 def _vmem_limit(*buffer_bytes: int) -> int:
     """Scoped-VMEM limit for a kernel: sum of resident buffers (pipelined
-    blocks counted twice for double buffering by the caller) + 25% slack."""
-    need = int(sum(buffer_bytes) * 1.25)
+    blocks counted twice for double buffering by the caller) plus generous
+    slack -- Mosaic's stack of live step temporaries (penalties, candidates,
+    relayouts) can more than double the explicit footprint for large S."""
+    need = int(sum(buffer_bytes) * 2.5)
     return min(max(need, 16 * 1024 * 1024), VMEM_CAP)
 
 
@@ -174,8 +176,8 @@ def acs_update_tb(
     if Tp % TB != 0:
         raise ValueError(f"padded T={Tp} not a multiple of time block {TB}")
 
-    e_tab = transition_tables(code).astype(np.int32)  # [4, R, S2]
-    e_in = jnp.asarray(e_tab.transpose(2, 0, 1).reshape(S // 2, 4 * R))
+    # Built on device (no embedded literal): [S2, 4R].
+    e_in = transition_tables_jnp(code).transpose(2, 0, 1).reshape(S // 2, 4 * R)
 
     grid = (Tp // TB,)
     kernel = _acs_kernel(code, numeric, TB)

@@ -1,0 +1,78 @@
+"""Harness: reference-schema JSON emission and the analysis scripts."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The reference's per-test JSON schema (ref: print_test, src/main.cpp:80-118).
+SCHEMA_KEYS = {
+    "name", "K", "R", "poly",
+    "total_input_bytes", "total_transmit_bits", "total_output_symbols",
+    "sampling_time", "minimum_samples", "total_samples",
+    "init_ns", "update_ns", "chainback_ns",
+    "total_bits", "total_bit_errors", "bit_error_rate",
+}
+
+
+@pytest.fixture(scope="module")
+def bench_json(tmp_path_factory):
+    from ka9q_viterbi_comparison_tpu.harness.runner import main
+
+    out = tmp_path_factory.mktemp("bench") / "benchmark.json"
+    main(["-t", "0.05", "-n", "2", "-o", str(out),
+          "--codes", "viterbi27", "--batch", "2", "--frame-bytes", "16"])
+    return out
+
+
+def test_runner_emits_reference_schema(bench_json):
+    data = json.loads(bench_json.read_text())
+    assert isinstance(data, list) and data
+    for t in data:
+        assert set(t.keys()) == SCHEMA_KEYS
+        assert t["K"] == 7 and t["R"] == 2
+        assert t["total_samples"] == len(t["update_ns"]) >= 2
+        assert t["total_transmit_bits"] == t["total_input_bytes"] * 8 + 2 * (7 - 1)
+        assert t["total_output_symbols"] == t["total_transmit_bits"] * t["R"]
+        assert t["bit_error_rate"] == 0.0
+
+
+def test_sample_counts_respect_minimums(bench_json):
+    data = json.loads(bench_json.read_text())
+    for t in data:
+        assert t["minimum_samples"] == 2
+        assert t["total_samples"] >= 2
+
+
+def test_tabulate_script_runs(bench_json):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "tabulate_data.py"),
+         str(bench_json)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "## Update symbol rate" in r.stdout
+    assert "## Chainback bit rate" in r.stdout
+
+
+def test_plot_script_runs(bench_json, tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "plot_data.py"),
+         str(bench_json), "--out-dir", str(tmp_path), "--chip-name", "test"],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "plot_symbol_update.png").exists()
+    assert (tmp_path / "plot_chainback.png").exists()
+
+
+def test_runner_rejects_unknown_code(tmp_path):
+    from ka9q_viterbi_comparison_tpu.harness.runner import main
+
+    with pytest.raises(SystemExit):
+        main(["-o", str(tmp_path / "x.json"), "--codes", "nonesuch"])
