@@ -29,7 +29,23 @@ from ..configs import CodeSpec, NumericSpec
 from ..ops import acs, chainback as cb
 from ..utils.bits import count_bit_errors
 
-__all__ = ["PhaseSample", "BenchResult", "run_phase_bench", "time_update_phase"]
+__all__ = ["PhaseSample", "BenchResult", "run_phase_bench", "time_update_phase", "sync"]
+
+
+def sync(tree):
+    """Force full device-side completion of every array in ``tree``.
+
+    ``block_until_ready`` alone is used first, but some experimental PJRT
+    transports acknowledge readiness before execution finishes; fetching one
+    scalar element of each output to the host cannot complete early, so phase
+    timings built on this are honest everywhere.
+    """
+    tree = jax.tree.map(jax.block_until_ready, tree)
+    for leaf in jax.tree.leaves(tree):
+        if isinstance(leaf, jax.Array) and leaf.size:
+            idx = tuple([-1] * leaf.ndim)
+            np.asarray(leaf[idx])
+    return tree
 
 
 @dataclasses.dataclass
@@ -121,7 +137,9 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
 
         return init_fn, update_fn, chainback_fn
 
-    fused = code.K > 15
+    # Always fuse penalty computation into the scan body: materialising
+    # whole-frame penalties is O(T*B*2S) memory (17 GB for K=15 at B=64).
+    fused = True
 
     def init_fn(batch: int):
         return acs.init_metrics(code, numeric, batch)
@@ -157,19 +175,19 @@ def run_phase_bench(
     )
 
     # Warm-up / compile all three phases once.
-    metrics = jax.block_until_ready(init_fn(B))
-    _, words, _ = jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))
-    out = jax.block_until_ready(chainback_fn(words))
+    metrics = sync(init_fn(B))
+    _, words, _ = sync(update_fn(metrics, symbols))
+    out = sync(chainback_fn(words))
 
     samples: list[PhaseSample] = []
     t_start = time.perf_counter()
     while (time.perf_counter() - t_start) < sampling_time or len(samples) < minimum_samples:
         t0 = time.perf_counter_ns()
-        metrics = jax.block_until_ready(init_fn(B))
+        metrics = sync(init_fn(B))
         t1 = time.perf_counter_ns()
-        _, words, _ = jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))
+        _, words, _ = sync(update_fn(metrics, symbols))
         t2 = time.perf_counter_ns()
-        out = jax.block_until_ready(chainback_fn(words))
+        out = sync(chainback_fn(words))
         t3 = time.perf_counter_ns()
         samples.append(PhaseSample(t1 - t0, t2 - t1, t3 - t2))
 
@@ -198,13 +216,13 @@ def time_update_phase(
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     T = symbols.shape[1]
     init_fn, update_fn, _ = _phases_for_backend(code, numeric, backend, 8)
-    metrics = jax.block_until_ready(init_fn(B))
+    metrics = sync(init_fn(B))
     jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))  # compile
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))
+        sync(update_fn(metrics, symbols))
         times.append(time.perf_counter() - t0)
     total_symbols = B * T * code.R
     return total_symbols / float(np.median(times))

@@ -76,7 +76,7 @@ class ViterbiDecoder:
                 self.code, self.numeric, self.metrics, symbols
             )
         else:
-            fused = self.code.K > 15
+            fused = True  # in-scan penalties; whole-frame tensor is O(T*B*2S)
             self.metrics, words, off = acs.acs_update(
                 self.code, self.numeric, self.metrics, symbols, fused
             )

@@ -37,7 +37,7 @@ def decode_symbols(
     [T, B, 4, S/2] -- tens of GB for K=24).
     """
     if fused_penalties is None:
-        fused_penalties = code.K > 15
+        fused_penalties = True  # whole-frame penalty tensor is O(T*B*2S)
     B = symbols.shape[0]
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     metrics = acs.init_metrics(code, numeric, B)
@@ -47,7 +47,7 @@ def decode_symbols(
 
 def decode_fn(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
     """Return a jittable ``symbols [B, T*R] -> bytes`` closure over static args."""
-    fused = code.K > 15
+    fused = True
 
     def fn(symbols: jnp.ndarray) -> jnp.ndarray:
         return decode_symbols(code, numeric, symbols, num_data_bits, fused)

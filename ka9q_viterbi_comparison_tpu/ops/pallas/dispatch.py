@@ -77,8 +77,16 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbo
     """
     B, T, R = symbols.shape
     Bp = _pad_batch(B)
-    if not supports(code) or not fits_vmem(code, Bp):
-        return acs.acs_update(code, numeric, metrics, symbols, code.K > 15)
+    if not supports(code):
+        # Large-K: state-blocked kernel with HBM-resident metrics.
+        from . import large_k
+
+        m, words = large_k.acs_update_large(
+            code, numeric, metrics, symbols.astype(jnp.int32), not on_tpu()
+        )
+        return m, words, jnp.zeros((B,), dtype=jnp.int32)
+    if not fits_vmem(code, Bp):
+        return acs.acs_update(code, numeric, metrics, symbols, True)
     Tp = _pad_time(code, T, Bp)
     sym = jnp.pad(symbols, ((0, Bp - B), (0, Tp - T), (0, 0)))
     m = jnp.pad(metrics, ((0, Bp - B), (0, 0)))
@@ -113,13 +121,19 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
     """Native-layout lifecycle phases for benchmarking: no layout conversion
     between update and chainback (symbols are transposed once on input)."""
     if not supports(code):
-        fused = True
+        # Large-K family: state-blocked update kernel, jnp traceback.
+        from . import large_k
+
+        interp_lg = not on_tpu()
 
         def init_fn(batch):
             return acs.init_metrics(code, numeric, batch)
 
         def update_fn(metrics, symbols):
-            return acs.acs_update(code, numeric, metrics, symbols, fused)
+            m, words = large_k.acs_update_large(
+                code, numeric, metrics, symbols.astype(jnp.int32), interp_lg
+            )
+            return m, words, jnp.zeros((symbols.shape[0],), dtype=jnp.int32)
 
         def chainback_fn(words):
             return cb.chainback(code, words, num_data_bits)

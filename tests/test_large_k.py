@@ -1,0 +1,35 @@
+"""State-blocked (large-K) kernel vs the jnp path, interpreter mode.
+
+The kernel is size-generic; running it on K=9/K=15 trellises on CPU validates
+the exact code path K=24 uses on hardware (block index maps, in-kernel parity
+penalties, lane packing)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ka9q_viterbi_comparison_tpu import VITERBI29, VITERBI615, soft8_spec
+from ka9q_viterbi_comparison_tpu.ops import acs, chainback as cb
+from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
+from ka9q_viterbi_comparison_tpu.ops.pallas import large_k
+from ka9q_viterbi_comparison_tpu.utils.bits import count_bit_errors
+
+
+@pytest.mark.parametrize("code,n_bytes", [(VITERBI29, 16), (VITERBI615, 4)],
+                         ids=["viterbi29", "viterbi615"])
+def test_large_k_matches_jnp(code, n_bytes, rng):
+    numeric = soft8_spec(code.R)
+    B = 2
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    m_lg, words_lg = large_k.acs_update_large(
+        code, numeric, acs.init_metrics(code, numeric, B), syms, True
+    )
+    np.testing.assert_array_equal(np.asarray(m_lg), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(words_lg), np.asarray(words_ref))
+
+    out = cb.chainback(code, words_lg, n_bytes * 8)
+    assert count_bit_errors(np.asarray(out), data) == 0
