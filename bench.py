@@ -37,7 +37,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from ka9q_viterbi_comparison_tpu import VITERBI27, soft8_spec
-    from ka9q_viterbi_comparison_tpu.harness.bench import time_update_phase
+    from ka9q_viterbi_comparison_tpu.harness.bench import time_update_marginal
     from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
 
     platform = jax.devices()[0].platform
@@ -55,8 +55,11 @@ def main() -> None:
     data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
     symbols = jax.block_until_ready(encode_frames(code, numeric, jnp.asarray(data)))
 
-    sym_per_s = time_update_phase(
-        code, numeric, symbols, iters=args.iters, backend=backend
+    # Marginal chained timing: reports true device throughput; per-call
+    # dispatch overhead (milliseconds on tunneled transports) cancels.
+    sym_per_s = time_update_marginal(
+        code, numeric, symbols.reshape(B, -1, code.R), backend=backend,
+        iters=args.iters,
     )
     print(
         json.dumps(

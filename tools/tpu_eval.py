@@ -40,20 +40,21 @@ def probe_timing_honesty():
     data = rng.integers(0, 256, size=(B, 1024), dtype=np.uint8)
     syms = jax.block_until_ready(
         encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, 2))
-    init_fn, update_fn, _ = dispatch.phase_fns(code, numeric, 1024 * 8)
+    init_fn, update_fn, _, prepare_fn = dispatch.phase_fns(code, numeric, 1024 * 8)
+    prepared = prepare_fn(syms)
     m = init_fn(B)
-    r = update_fn(m, syms)
+    r = update_fn(m, prepared)
     jax.tree.map(jax.block_until_ready, r)
     n_sym = B * syms.shape[1] * 2
 
     t0 = time.perf_counter()
     for _ in range(5):
-        jax.tree.map(jax.block_until_ready, update_fn(m, syms))
+        jax.tree.map(jax.block_until_ready, update_fn(m, prepared))
     ta = (time.perf_counter() - t0) / 5
 
     t0 = time.perf_counter()
     for _ in range(5):
-        _, (dec, _, _), _ = update_fn(m, syms)
+        _, (dec, _, _), _ = update_fn(m, prepared)
         np.asarray(dec[-1, -1, -8:])  # host fetch forces kernel completion
     tb = (time.perf_counter() - t0) / 5
     LOG(f"PROBE block_until_ready: {ta*1e3:.2f} ms ({n_sym/ta/1e9:.1f} Gsym/s)")
