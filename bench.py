@@ -42,9 +42,9 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    # Throughput scales with batch until the VPU saturates (~600 Gsym/s at
-    # B=8192 on v5e); default to the measured sweet spot.
-    B = args.batch or (8192 if on_tpu else 8)
+    # Measured sweet spot on v5e (marginal chained timing): per-symbol cost
+    # is lowest at batch ~1024; larger batches scale sublinearly.
+    B = args.batch or (1024 if on_tpu else 8)
     n_bytes = args.bytes if on_tpu else min(args.bytes, 64)
     backend = args.backend
     if backend == "auto":

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Generate RESULTS.md + docs plots from a benchmark JSON
+(the repo's analogue of the reference's RESULTS.md tables and docs PNGs,
+ref: RESULTS.md, scripts/plot_data.py outputs)."""
+
+import argparse
+import io
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser("make_results")
+    p.add_argument("filename", nargs="?", default="data/benchmark.json")
+    p.add_argument("--chip-name", default="TPU v5e (1 chip)")
+    p.add_argument("--out", default="RESULTS.md")
+    args = p.parse_args()
+
+    from contextlib import redirect_stdout
+
+    import tabulate_data  # noqa: E402  (scripts/)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sys.argv = ["tabulate_data", args.filename]
+        tabulate_data.main()
+    tables = buf.getvalue()
+
+    header = f"""# Results — {args.chip_name}
+
+Benchmark of the TPU-native decoder families over the reference's six-config
+matrix (frame sizes per config as in the reference harness).  Metric
+definitions match the reference's analysis scripts: update symbol rate =
+total_output_symbols / update_ns; chainback bit rate = total_input_bytes*8 /
+chainback_ns (mean±std over raw per-iteration samples).  One iteration
+decodes the whole batch of frames listed in the JSON; phase times subtract
+the measured per-call transport overhead of the dev rig (see
+harness/bench.py).  Families:
+
+* `tpu_pallas` — fused Pallas kernels (VMEM-resident metrics; state-blocked
+  for K=24)
+* `tpu_jnp`    — portable XLA `lax.scan` path
+* `cpu_native` — the C++ host decoder (serial per frame), the in-repo CPU
+  baseline
+
+Reference hardware numbers to compare against are in `BASELINE.md`.
+
+"""
+    with open(os.path.join(REPO, args.out), "w") as f:
+        f.write(header + tables)
+    print(f"wrote {args.out}")
+
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "plot_data.py"),
+         args.filename, "--chip-name", args.chip_name,
+         "--out-dir", os.path.join(REPO, "docs")],
+        check=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
