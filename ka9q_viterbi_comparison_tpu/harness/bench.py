@@ -184,37 +184,60 @@ def run_phase_bench(
     _, words, _ = sync(update_fn(metrics, symbols))
     out = sync(chainback_fn(words))
 
-    # Constant per-call dispatch+fetch cost of the transport (tens of ms on
-    # tunneled dev rigs, ~us on local hardware); subtracted from every phase
-    # sample so the JSON reflects device time.  Native backend runs on the
-    # host and needs no correction.
-    overhead_ns = 0
-    if backend != "native":
-        trivial = jax.jit(lambda x: x + 1)
-        x = jnp.zeros((8, 128), jnp.int32)
-        sync(trivial(x))
-        probes = []
-        for _ in range(5):
-            t0 = time.perf_counter_ns()
-            sync(trivial(x))
-            probes.append(time.perf_counter_ns() - t0)
-        overhead_ns = int(np.median(probes))
+    # Phase timing.  Device backends go through a transport whose per-call
+    # fetch cost (tens of ms on tunneled dev rigs) would swamp the phase
+    # times, so each sample is the MARGINAL cost of extending a chain of
+    # k phase executions from 1 to n -- the constant fetch cost cancels.
+    # The chain is data-dependent for update (metrics feed forward);
+    # init/chainback links are independent dispatches executed in stream
+    # order.  The native backend runs on the host and is timed directly.
+    n_chain = 4 if backend != "native" else 1
+
+    def run_init(k):
+        t0 = time.perf_counter_ns()
+        m = None
+        for _ in range(k):
+            m = init_fn(B)
+        sync(m)
+        return time.perf_counter_ns() - t0, m
+
+    def run_update(k, m0):
+        t0 = time.perf_counter_ns()
+        m, w = m0, None
+        for _ in range(k):
+            m, w, _ = update_fn(m, symbols)
+        sync(w)
+        return time.perf_counter_ns() - t0, w
+
+    def run_chainback(k, w):
+        t0 = time.perf_counter_ns()
+        o = None
+        for _ in range(k):
+            o = chainback_fn(w)
+        sync(o)
+        return time.perf_counter_ns() - t0, o
 
     samples: list[PhaseSample] = []
     t_start = time.perf_counter()
     while (time.perf_counter() - t_start) < sampling_time or len(samples) < minimum_samples:
-        t0 = time.perf_counter_ns()
-        metrics = sync(init_fn(B))
-        t1 = time.perf_counter_ns()
-        _, words, _ = sync(update_fn(metrics, symbols))
-        t2 = time.perf_counter_ns()
-        out = sync(chainback_fn(words))
-        t3 = time.perf_counter_ns()
-        samples.append(PhaseSample(
-            max(t1 - t0 - overhead_ns, 0),
-            max(t2 - t1 - overhead_ns, 0),
-            max(t3 - t2 - overhead_ns, 0),
-        ))
+        if n_chain == 1:
+            ti, metrics = run_init(1)
+            tu, words = run_update(1, metrics)
+            tc, out = run_chainback(1, words)
+            samples.append(PhaseSample(ti, tu, tc))
+        else:
+            ti1, metrics = run_init(1)
+            tin, _ = run_init(n_chain)
+            tu1, _ = run_update(1, metrics)
+            tun, words = run_update(n_chain, metrics)
+            tc1, _ = run_chainback(1, words)
+            tcn, out = run_chainback(n_chain, words)
+            d = n_chain - 1
+            samples.append(PhaseSample(
+                max((tin - ti1) // d, 0),
+                max((tun - tu1) // d, 0),
+                max((tcn - tc1) // d, 0),
+            ))
 
     errors = count_bit_errors(np.asarray(out), data)
     return BenchResult(

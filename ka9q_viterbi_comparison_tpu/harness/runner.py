@@ -62,8 +62,8 @@ def backends_for(code: CodeSpec) -> list[str]:
     from ..utils import native
 
     out = []
-    if dispatch.supports(code) and dispatch.on_tpu():
-        out.append("pallas")
+    if dispatch.on_tpu():
+        out.append("pallas")  # K>15 resolves to the state-blocked large_k kernel
     out.append("jnp")
     if native.available():
         out.append("native")
