@@ -6,19 +6,21 @@ and streams it through SSE registers, ref: viterbi224_sse2.cpp:14-16), so
 here the metric vectors live in HBM and each trellis step is one
 ``pallas_call`` whose grid tiles the *state* axis:
 
-* grid block i computes new states ``[i*blk, (i+1)*blk)`` from predecessor
-  slices ``old[i*blk/2 : (i+1)*blk/2]`` (low half) and the mirrored high-half
-  slice -- the same array is passed twice with two BlockSpec index maps, so
-  Pallas's pipeline streams both butterfly inputs HBM->VMEM double-buffered;
+* grid block i reads predecessor slices ``old[i*blk/2 : (i+1)*blk/2]`` (low
+  half) and the mirrored high-half slice -- the same array is passed twice
+  with two BlockSpec index maps, so Pallas's pipeline streams both butterfly
+  inputs HBM->VMEM double-buffered;
 * expected bits are computed in-kernel from a lane iota + parity fold
   (identity: ``parity(((s2<<1)|b|(h<<(K-1))) & p) = parity(s2 & (p>>1))
   ^ (b & p) ^ (h & p>>(K-1))``) -- the materialised branch table would be
-  64 MiB (ref: viterbi224_sse2.cpp:16-20, 2 x 8 MiB per polynomial bit);
-* decisions pack 32 lane-states per uint32 word;
-* the time loop is a ``lax.scan`` at the XLA level: the carry double-buffers
-  the two HBM metric arrays (old/new) with buffer donation, one kernel launch
-  per input bit -- launch overhead is amortised by the ~100 MiB of DMA each
-  step moves.
+  64 MiB (ref: viterbi224_sse2.cpp:16-20);
+* outputs are the four butterfly result vectors as CONTIGUOUS half-arrays
+  (new-even metrics, new-odd metrics, and their decision vectors): Mosaic
+  cannot lane-interleave 2^16-lane vectors, so the even/odd interleave into
+  natural state order -- and the 32-bit decision-word packing -- happen in
+  XLA between steps, where they are plain (well-supported) reshapes;
+* the time loop is a ``lax.scan`` at the XLA level: one kernel launch per
+  input bit, amortised by the ~100 MiB the butterfly moves per step.
 
 Layout is batch-major ``[B, S]`` (B on sublanes, states on lanes): for K=24
 the batch is small and the state axis is what must saturate the vector unit.
@@ -55,11 +57,11 @@ def _step_kernel(code: CodeSpec, numeric: NumericSpec, blk: int):
     low = numeric.soft_low
     high = numeric.soft_high
     half = blk // 2
-    W = blk // 32
 
-    def kernel(lo_ref, hi_ref, sym_ref, new_ref, dec_ref):
+    def kernel(lo_ref, hi_ref, sym_ref, ne_ref, no_ref, de_ref, do_ref):
         # lo/hi: [B, blk/2] predecessor metrics; sym: [B, R] int32;
-        # new: [B, blk]; dec: [B, blk/32] int32 words.
+        # ne/no: new metrics for even (b=0) / odd (b=1) successor states;
+        # de/do: decision vectors (0 = low predecessor won), same shapes.
         i = pl.program_id(0)
         B = lo_ref.shape[0]
         s2 = jax.lax.broadcasted_iota(jnp.int32, (1, half), 1) + i * half
@@ -78,8 +80,7 @@ def _step_kernel(code: CodeSpec, numeric: NumericSpec, blk: int):
 
         old_lo = lo_ref[:]
         old_hi = hi_ref[:]
-        cands = []
-        decs = []
+        outs = {0: (ne_ref, de_ref), 1: (no_ref, do_ref)}
         for b in (0, 1):
             pen_lo = jnp.broadcast_to(base, (B, half))
             pen_hi = jnp.broadcast_to(base, (B, half))
@@ -93,17 +94,9 @@ def _step_kernel(code: CodeSpec, numeric: NumericSpec, blk: int):
             c_lo = old_lo + pen_lo
             c_hi = old_hi + pen_hi
             d = c_hi < c_lo  # ties keep the low predecessor
-            cands.append(jnp.where(d, c_hi, c_lo))
-            decs.append(d.astype(jnp.int32))
-        # Interleave along lanes: new[2*s2 + b] = cands[b][s2].
-        new = jnp.stack(cands, axis=-1).reshape(B, blk)
-        dec = jnp.stack(decs, axis=-1).reshape(B, blk)
-        new_ref[:] = new
-
-        # Pack 32 lane-states per uint32 word (minor-axis reduction).
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
-        weights = jax.lax.shift_left(jnp.ones((1, 1, 32), jnp.int32), j)
-        dec_ref[:] = (dec.reshape(B, W, 32) * weights).sum(axis=-1)
+            m_ref, d_ref = outs[b]
+            m_ref[:] = jnp.where(d, c_hi, c_lo)
+            d_ref[:] = d.astype(jnp.int32)
 
     return kernel
 
@@ -130,11 +123,10 @@ def acs_update_large(
     blk = pick_state_block(code)
     NB = S // blk
     assert NB * blk == S
-    W = blk // 32
-
-    kernel = _step_kernel(code, numeric, blk)
     half = blk // 2
 
+    kernel = _step_kernel(code, numeric, blk)
+    half_shape = jax.ShapeDtypeStruct((B, S // 2), jnp.int32)
     step_call = pl.pallas_call(
         kernel,
         grid=(NB,),
@@ -144,25 +136,32 @@ def acs_update_large(
             pl.BlockSpec((B, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, half), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, half), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, half), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, half), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, S), jnp.int32),
-            jax.ShapeDtypeStruct((B, S // 32), jnp.int32),
-        ],
+        out_shape=[half_shape, half_shape, half_shape, half_shape],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )
 
+    weights = jax.lax.shift_left(
+        jnp.ones((1, 1, 32), jnp.int32), jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
+    )
+
     def body(m, sym_t):
-        # The same metric array feeds both butterfly halves via two
-        # BlockSpecs; outputs are fresh buffers each step (the scan carry
-        # double-buffers them with donation).
-        new, dec = step_call(m, m, sym_t)
-        return new, dec
+        ne, no, de, do = step_call(m, m, sym_t)
+        # Interleave even/odd halves back to natural state order and pack
+        # decision words -- plain XLA reshapes (Mosaic can't lane-interleave
+        # 2^16-lane vectors in-kernel).
+        new = jnp.stack([ne, no], axis=-1).reshape(B, S)
+        dec = jnp.stack([de, do], axis=-1).reshape(B, S)
+        words = (dec.reshape(B, S // 32, 32) * weights).sum(axis=-1)
+        return new, words
 
     m_final, words = jax.lax.scan(body, metrics, symbols.transpose(1, 0, 2))
     # words: [T, B, S//32] int32 -> [B, T, W] uint32
