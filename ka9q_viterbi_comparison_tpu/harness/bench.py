@@ -192,6 +192,9 @@ def run_phase_bench(
     # init/chainback links are independent dispatches executed in stream
     # order.  The native backend runs on the host and is timed directly.
     n_chain = 4 if backend != "native" else 1
+    # Fast phases need longer chains for the marginal to rise above transport
+    # jitter; chainback device time is often ~ms while jitter is ~10 ms.
+    n_chain_cb = 16 if backend != "native" else 1
 
     def run_init(k):
         t0 = time.perf_counter_ns()
@@ -231,12 +234,16 @@ def run_phase_bench(
             tu1, _ = run_update(1, metrics)
             tun, words = run_update(n_chain, metrics)
             tc1, _ = run_chainback(1, words)
-            tcn, out = run_chainback(n_chain, words)
+            tcn, out = run_chainback(n_chain_cb, words)
             d = n_chain - 1
+            # Clamp to 1us: a marginal at or below zero means the phase is
+            # lost in transport jitter -- record the resolution floor rather
+            # than a zero that turns into an infinite rate downstream.
+            floor = 1_000
             samples.append(PhaseSample(
-                max((tin - ti1) // d, 0),
-                max((tun - tu1) // d, 0),
-                max((tcn - tc1) // d, 0),
+                max((tin - ti1) // d, floor),
+                max((tun - tu1) // d, floor),
+                max((tcn - tc1) // (n_chain_cb - 1), floor),
             ))
 
     errors = count_bit_errors(np.asarray(out), data)

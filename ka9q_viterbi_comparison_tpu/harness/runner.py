@@ -44,7 +44,7 @@ DEFAULT_BATCH = {
     "viterbi47": 1024,
     "viterbi29": 512,
     "viterbi49": 512,
-    "viterbi615": 64,
+    "viterbi615": 128,  # the Pallas lane width; smaller batches pad up to it
     "viterbi224": 4,
 }
 
