@@ -4,26 +4,32 @@ The K<=15 kernels keep the whole metric vector VMEM-resident; K=24's 2^23
 states x int32 = 32 MiB per buffer (the reference burns 2 x 16 MiB of heap
 and streams it through SSE registers, ref: viterbi224_sse2.cpp:14-16), so
 here the metric vectors live in HBM and each trellis step is one
-``pallas_call`` whose grid tiles the *state* axis:
+``pallas_call`` whose grid tiles the *state* axis.
 
-* grid block i reads predecessor slices ``old[i*blk/2 : (i+1)*blk/2]`` (low
-  half) and the mirrored high-half slice -- the same array is passed twice
-  with two BlockSpec index maps, so Pallas's pipeline streams both butterfly
-  inputs HBM->VMEM double-buffered;
-* expected bits are computed in-kernel from a lane iota + parity fold
-  (identity: ``parity(((s2<<1)|b|(h<<(K-1))) & p) = parity(s2 & (p>>1))
-  ^ (b & p) ^ (h & p>>(K-1))``) -- the materialised branch table would be
-  64 MiB (ref: viterbi224_sse2.cpp:16-20);
-* outputs are the four butterfly result vectors as CONTIGUOUS half-arrays
-  (new-even metrics, new-odd metrics, and their decision vectors): Mosaic
-  cannot lane-interleave 2^16-lane vectors, so the even/odd interleave into
-  natural state order -- and the 32-bit decision-word packing -- happen in
-  XLA between steps, where they are plain (well-supported) reshapes;
-* the time loop is a ``lax.scan`` at the XLA level: one kernel launch per
-  input bit, amortised by the ~100 MiB the butterfly moves per step.
+Layout is the key trick: state ``s`` maps to ``(sublane g = s % 32,
+lane-column c = s // 32)``, i.e. metrics are ``[B, 32, S/32]``.  Under this
+split:
 
-Layout is batch-major ``[B, S]`` (B on sublanes, states on lanes): for K=24
-the batch is small and the state axis is what must saturate the vector unit.
+* a contiguous range of predecessor states is a contiguous range of
+  lane-columns (streamable with plain BlockSpecs);
+* the butterfly's successor interleave ``new[2*s2+b]`` decomposes into a
+  SUBLANE interleave (the pattern Mosaic supports natively; a pure lane
+  interleave of 2^16-lane vectors does not lower) plus a column-parity
+  split: the kernel writes even-numbered and odd-numbered output columns as
+  two contiguous arrays, and one cheap XLA reshape re-interleaves columns
+  between steps;
+* the 32 states of one packed decision word are exactly one column's
+  sublanes, so the movemask analogue is a multiply-by-2^g sublane reduction
+  **in-kernel** -- decisions leave the kernel already packed (1 bit/state,
+  the reference's decision-memory ratio, ref: viterbi224_sse2.cpp:14).
+
+Branch penalties come from an in-kernel parity fold over a (g, c) iota
+(identity ``parity(((s2<<1)|b|(h<<(K-1))) & p) = parity(s2 & (p>>1)) ^
+(b & p) ^ (h & p>>(K-1))``) -- the materialised K=24 branch table would be
+64 MiB (ref: viterbi224_sse2.cpp:16-20).
+
+The time loop is a ``lax.scan``: one kernel launch per input bit, amortised
+by the ~0.5 GB the butterfly moves per step.
 """
 
 from __future__ import annotations
@@ -39,7 +45,8 @@ from ...configs import CodeSpec, NumericSpec
 
 __all__ = ["acs_update_large", "pick_state_block"]
 
-MAX_BLOCK = 1 << 17  # states per grid block (0.5 MiB of int32 lanes per row)
+MAX_BLOCK = 1 << 17  # states per grid block
+PACK = 32            # states per packed word = sublanes per column
 
 
 def pick_state_block(code: CodeSpec) -> int:
@@ -52,51 +59,71 @@ def _parity_fold(x: jnp.ndarray) -> jnp.ndarray:
     return x & 1
 
 
-def _step_kernel(code: CodeSpec, numeric: NumericSpec, blk: int):
+def _step_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int):
+    """Grid block i: predecessors s2 in columns [i*Lb, (i+1)*Lb) (natural
+    column index over the s2 space), plus the mirrored high half."""
     K, R = code.K, code.R
     low = numeric.soft_low
     high = numeric.soft_high
-    half = blk // 2
 
-    def kernel(lo_ref, hi_ref, sym_ref, ne_ref, no_ref, de_ref, do_ref):
-        # lo/hi: [B, blk/2] predecessor metrics; sym: [B, R] int32;
-        # ne/no: new metrics for even (b=0) / odd (b=1) successor states;
-        # de/do: decision vectors (0 = low predecessor won), same shapes.
+    def kernel(lo_ref, hi_ref, sym_ref, me_ref, mo_ref, we_ref, wo_ref):
+        # lo/hi: [B, 32, Lb] predecessor metrics; sym: [B, R] int32.
+        # me/mo: even/odd output columns [B, 32, Lb]; we/wo: packed decision
+        # words per output column [B, Lb] (bit g = decision of state 32c+g).
         i = pl.program_id(0)
         B = lo_ref.shape[0]
-        s2 = jax.lax.broadcasted_iota(jnp.int32, (1, half), 1) + i * half
+        g = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, Lb), 1)
+        c = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, Lb), 2) + i * Lb
+        s2 = c * PACK + g  # [1, 32, Lb] global predecessor index
 
-        # parity(s2 & (p >> 1)) per polynomial [1, half], shared across (h, b);
-        # per-frame symbol pieces broadcast along sublanes:
-        # pen = sum_r (y_r - low) + e_r * (high + low - 2 y_r).
         pars = [_parity_fold(s2 & (p >> 1)) for p in code.abs_polys()]
         hl = high + low
-        base = jnp.zeros((B, 1), dtype=jnp.int32)
+        base = jnp.zeros((B, 1, 1), dtype=jnp.int32)
         coefs = []
         for r in range(R):
-            y = sym_ref[:, r : r + 1]  # [B, 1]
+            y = sym_ref[:, r].reshape(B, 1, 1)
             base = base + (y - low)
             coefs.append(hl - 2 * y)
 
         old_lo = lo_ref[:]
         old_hi = hi_ref[:]
-        outs = {0: (ne_ref, de_ref), 1: (no_ref, do_ref)}
+        cands = {}
+        decs = {}
         for b in (0, 1):
-            pen_lo = jnp.broadcast_to(base, (B, half))
-            pen_hi = jnp.broadcast_to(base, (B, half))
+            pen_lo = jnp.broadcast_to(base, (B, PACK, Lb))
+            pen_hi = jnp.broadcast_to(base, (B, PACK, Lb))
             for r, (p, inv) in enumerate(zip(code.abs_polys(), code.inversions())):
                 c_hi_bit = (p >> (K - 1)) & 1
                 base_bits = (b & p & 1) ^ (1 if inv else 0)
-                e_lo = pars[r] ^ base_bits          # [1, half] 0/1
+                e_lo = pars[r] ^ base_bits
                 e_hi = pars[r] ^ base_bits ^ c_hi_bit
                 pen_lo = pen_lo + e_lo * coefs[r]
                 pen_hi = pen_hi + e_hi * coefs[r]
             c_lo = old_lo + pen_lo
             c_hi = old_hi + pen_hi
             d = c_hi < c_lo  # ties keep the low predecessor
-            m_ref, d_ref = outs[b]
-            m_ref[:] = jnp.where(d, c_hi, c_lo)
-            d_ref[:] = d.astype(jnp.int32)
+            cands[b] = jnp.where(d, c_hi, c_lo)
+            decs[b] = d.astype(jnp.int32)
+
+        # Successor of s2 = 32c+g with input bit b is 64c + 2g + b:
+        #   output column 2c + (g >= 16), row (2g + b) % 32.
+        # Even output columns take g in [0, 16), odd take g in [16, 32);
+        # rows interleave cand_0/cand_1 -- a sublane interleave.
+        def scatter(x0, x1):
+            top = jnp.stack([x0[:, :16], x1[:, :16]], axis=2).reshape(-1, PACK, Lb)
+            bot = jnp.stack([x0[:, 16:], x1[:, 16:]], axis=2).reshape(-1, PACK, Lb)
+            return top, bot  # even cols, odd cols
+
+        me, mo = scatter(cands[0], cands[1])
+        de, do = scatter(decs[0], decs[1])
+        me_ref[:] = me
+        mo_ref[:] = mo
+
+        # Pack each column's 32 sublane decisions into one uint32 word.
+        gw = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, 1), 1)
+        weights = jax.lax.shift_left(jnp.ones((1, PACK, 1), jnp.int32), gw)
+        we_ref[:] = (de * weights).sum(axis=1)
+        wo_ref[:] = (do * weights).sum(axis=1)
 
     return kernel
 
@@ -123,25 +150,28 @@ def acs_update_large(
     blk = pick_state_block(code)
     NB = S // blk
     assert NB * blk == S
-    half = blk // 2
+    C = S // PACK          # lane columns in the full state space
+    Lb = blk // (2 * PACK)  # predecessor columns per grid block
+    assert NB * Lb == C // 2
 
-    kernel = _step_kernel(code, numeric, blk)
-    half_shape = jax.ShapeDtypeStruct((B, S // 2), jnp.int32)
+    kernel = _step_kernel(code, numeric, Lb)
+    m3_shape = jax.ShapeDtypeStruct((B, PACK, C // 2), jnp.int32)
+    w_shape = jax.ShapeDtypeStruct((B, C // 2), jnp.int32)
     step_call = pl.pallas_call(
         kernel,
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((B, half), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, half), lambda i: (0, i + NB), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, PACK, Lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, PACK, Lb), lambda i: (0, 0, i + NB), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, half), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, half), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, half), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, half), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, PACK, Lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, PACK, Lb), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Lb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Lb), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_shape=[half_shape, half_shape, half_shape, half_shape],
+        out_shape=[m3_shape, m3_shape, w_shape, w_shape],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -149,20 +179,18 @@ def acs_update_large(
         interpret=interpret,
     )
 
-    weights = jax.lax.shift_left(
-        jnp.ones((1, 1, 32), jnp.int32), jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
-    )
+    def body(m3, sym_t):
+        me, mo, we, wo = step_call(m3, m3, sym_t)
+        # Column re-interleave (even/odd output columns back to natural
+        # order) -- a supported XLA reshape; likewise for the word vectors.
+        m_next = jnp.stack([me, mo], axis=-1).reshape(B, PACK, C)
+        words = jnp.stack([we, wo], axis=-1).reshape(B, C)
+        return m_next, words
 
-    def body(m, sym_t):
-        ne, no, de, do = step_call(m, m, sym_t)
-        # Interleave even/odd halves back to natural state order and pack
-        # decision words -- plain XLA reshapes (Mosaic can't lane-interleave
-        # 2^16-lane vectors in-kernel).
-        new = jnp.stack([ne, no], axis=-1).reshape(B, S)
-        dec = jnp.stack([de, do], axis=-1).reshape(B, S)
-        words = (dec.reshape(B, S // 32, 32) * weights).sum(axis=-1)
-        return new, words
-
-    m_final, words = jax.lax.scan(body, metrics, symbols.transpose(1, 0, 2))
-    # words: [T, B, S//32] int32 -> [B, T, W] uint32
+    # [B, S] -> [B, 32, S/32] with state s at (g = s % 32, c = s // 32).
+    m3 = metrics.reshape(B, C, PACK).transpose(0, 2, 1)
+    m3_final, words = jax.lax.scan(body, m3, symbols.transpose(1, 0, 2))
+    m_final = m3_final.transpose(0, 2, 1).reshape(B, S)
+    # words: [T, B, C] int32; word c packs states 32c..32c+31 (bit g) --
+    # exactly the standard state-indexed packing of the other paths.
     return m_final, jax.lax.bitcast_convert_type(words.transpose(1, 0, 2), jnp.uint32)
