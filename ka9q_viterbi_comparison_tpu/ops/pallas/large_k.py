@@ -59,7 +59,16 @@ def _parity_fold(x: jnp.ndarray) -> jnp.ndarray:
     return x & 1
 
 
-def _step_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int):
+def metric_dtype_for(code: CodeSpec, numeric: NumericSpec, T: int):
+    """int16 when the worst-case accumulated path error fits with headroom
+    (halves every metric byte moved -- the dominant cost); else int32.
+    The reference solves the same range problem with lazy renormalisation
+    (ref: viterbi224_sse2.cpp:226-250); short ICE frames don't need it."""
+    worst = numeric.initial_margin + (T + 8) * numeric.max_branch_error(code.R)
+    return jnp.int16 if worst < 30000 else jnp.int32
+
+
+def _step_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, mdt):
     """Grid block i: predecessors s2 in columns [i*Lb, (i+1)*Lb) (natural
     column index over the s2 space), plus the mirrored high half."""
     K, R = code.K, code.R
@@ -76,7 +85,11 @@ def _step_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int):
         c = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, Lb), 2) + i * Lb
         s2 = c * PACK + g  # [1, 32, Lb] global predecessor index
 
-        pars = [_parity_fold(s2 & (p >> 1)) for p in code.abs_polys()]
+        # Storage is ``mdt`` (int16 when the accumulated range allows --
+        # halves every byte the step moves); COMPUTE stays int32 because the
+        # VPU lacks int16 compares and some narrow-dtype broadcasts.  Casts
+        # happen at the refs.
+        pars = [_parity_fold(s2 & (p >> 1)) for p in code.abs_polys()]  # int32
         hl = high + low
         base = jnp.zeros((B, 1, 1), dtype=jnp.int32)
         coefs = []
@@ -85,8 +98,8 @@ def _step_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int):
             base = base + (y - low)
             coefs.append(hl - 2 * y)
 
-        old_lo = lo_ref[:]
-        old_hi = hi_ref[:]
+        old_lo = lo_ref[:].astype(jnp.int32)
+        old_hi = hi_ref[:].astype(jnp.int32)
         cands = {}
         decs = {}
         for b in (0, 1):
@@ -96,13 +109,13 @@ def _step_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int):
                 c_hi_bit = (p >> (K - 1)) & 1
                 base_bits = (b & p & 1) ^ (1 if inv else 0)
                 e_lo = pars[r] ^ base_bits
-                e_hi = pars[r] ^ base_bits ^ c_hi_bit
+                e_hi = pars[r] ^ (base_bits ^ c_hi_bit)
                 pen_lo = pen_lo + e_lo * coefs[r]
                 pen_hi = pen_hi + e_hi * coefs[r]
             c_lo = old_lo + pen_lo
             c_hi = old_hi + pen_hi
             d = c_hi < c_lo  # ties keep the low predecessor
-            cands[b] = jnp.where(d, c_hi, c_lo)
+            cands[b] = jnp.where(d, c_hi, c_lo).astype(mdt)
             decs[b] = d.astype(jnp.int32)
 
         # Successor of s2 = 32c+g with input bit b is 64c + 2g + b:
@@ -154,8 +167,9 @@ def acs_update_large(
     Lb = blk // (2 * PACK)  # predecessor columns per grid block
     assert NB * Lb == C // 2
 
-    kernel = _step_kernel(code, numeric, Lb)
-    m3_shape = jax.ShapeDtypeStruct((B, PACK, C // 2), jnp.int32)
+    mdt = metric_dtype_for(code, numeric, T)
+    kernel = _step_kernel(code, numeric, Lb, mdt)
+    m3_shape = jax.ShapeDtypeStruct((B, PACK, C // 2), mdt)
     w_shape = jax.ShapeDtypeStruct((B, C // 2), jnp.int32)
     step_call = pl.pallas_call(
         kernel,
@@ -188,9 +202,9 @@ def acs_update_large(
         return m_next, words
 
     # [B, S] -> [B, 32, S/32] with state s at (g = s % 32, c = s // 32).
-    m3 = metrics.reshape(B, C, PACK).transpose(0, 2, 1)
+    m3 = metrics.reshape(B, C, PACK).transpose(0, 2, 1).astype(mdt)
     m3_final, words = jax.lax.scan(body, m3, symbols.transpose(1, 0, 2))
-    m_final = m3_final.transpose(0, 2, 1).reshape(B, S)
+    m_final = m3_final.astype(jnp.int32).transpose(0, 2, 1).reshape(B, S)
     # words: [T, B, C] int32; word c packs states 32c..32c+31 (bit g) --
     # exactly the standard state-indexed packing of the other paths.
     return m_final, jax.lax.bitcast_convert_type(words.transpose(1, 0, 2), jnp.uint32)
