@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
+import os
+
+# Persistent compilation cache: Mosaic compiles through this rig's remote
+# helper take minutes; cached reruns take seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 import numpy as np
 
@@ -59,7 +64,7 @@ def main() -> None:
     # dispatch overhead (milliseconds on tunneled transports) cancels.
     sym_per_s = time_update_marginal(
         code, numeric, symbols.reshape(B, -1, code.R), backend=backend,
-        iters=args.iters,
+        n_chain=3, iters=args.iters,
     )
     print(
         json.dumps(

@@ -9,17 +9,19 @@ Raw per-iteration nanosecond samples are kept, not aggregates
 (ref: src/main.cpp:99-108); statistics happen downstream in the analysis
 scripts exactly as in the reference.
 
-On TPU a "phase" is a jitted program: we pre-compile (warm-up call), then time
-dispatch -> ``block_until_ready`` per phase.  The batch axis B means one
-iteration decodes B frames, so the JSON bookkeeping counts B x frame sizes --
-the schema stays valid for the reference's analysis scripts.
+On TPU a "phase" is a jitted program.  Because some transports acknowledge
+``block_until_ready`` before execution finishes and add a large constant
+per-call cost, every device-phase sample is a MARGINAL chained measurement
+(see ``run_phase_bench``); ``sync`` forces a scalar host fetch so no timing
+can complete early.  The batch axis B means one iteration decodes B frames,
+so the JSON bookkeeping counts B x frame sizes -- the schema stays valid for
+the reference's analysis scripts.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -137,7 +139,7 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
         def prepare_fn(symbols):
             return np.ascontiguousarray(np.asarray(symbols), dtype=np.int32)
 
-        return init_fn, update_fn, chainback_fn, prepare_fn
+        return init_fn, update_fn, chainback_fn, prepare_fn, None
 
     # Always fuse penalty computation into the scan body: materialising
     # whole-frame penalties is O(T*B*2S) memory (17 GB for K=15 at B=64).
@@ -155,7 +157,17 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
     def prepare_fn(symbols):
         return jax.block_until_ready(symbols.astype(jnp.int32))
 
-    return init_fn, update_fn, chainback_fn, prepare_fn
+    def make_chainback_chain(k):
+        @jax.jit
+        def run(words):
+            out = None
+            for es in range(k):
+                out = cb.chainback(code, words, num_data_bits, es)
+            return out
+
+        return run
+
+    return init_fn, update_fn, chainback_fn, prepare_fn, make_chainback_chain
 
 
 def run_phase_bench(
@@ -175,7 +187,7 @@ def run_phase_bench(
     B, n_bytes = data.shape
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     num_data_bits = n_bytes * 8
-    init_fn, update_fn, chainback_fn, prepare_fn = _phases_for_backend(
+    init_fn, update_fn, chainback_fn, prepare_fn, make_cb_chain = _phases_for_backend(
         code, numeric, backend, num_data_bits
     )
     symbols = prepare_fn(symbols)  # backend-native staging, untimed
@@ -192,9 +204,13 @@ def run_phase_bench(
     # init/chainback links are independent dispatches executed in stream
     # order.  The native backend runs on the host and is timed directly.
     n_chain = 4 if backend != "native" else 1
-    # Fast phases need longer chains for the marginal to rise above transport
-    # jitter; chainback device time is often ~ms while jitter is ~10 ms.
-    n_chain_cb = 16 if backend != "native" else 1
+    # Chainback is often faster than transport jitter; its chain runs
+    # IN-jit (varied endstates defeat CSE) so the marginal is pure device
+    # time even for sub-ms phases.
+    n_chain_cb = 8 if make_cb_chain is not None else 1
+    if make_cb_chain is not None:
+        cb_chain_1 = make_cb_chain(1)
+        cb_chain_n = make_cb_chain(n_chain_cb)
 
     def run_init(k):
         t0 = time.perf_counter_ns()
@@ -214,9 +230,12 @@ def run_phase_bench(
 
     def run_chainback(k, w):
         t0 = time.perf_counter_ns()
-        o = None
-        for _ in range(k):
-            o = chainback_fn(w)
+        if make_cb_chain is not None:
+            o = (cb_chain_1 if k == 1 else cb_chain_n)(w)
+        else:
+            o = None
+            for _ in range(k):
+                o = chainback_fn(w)
         sync(o)
         return time.perf_counter_ns() - t0, o
 

@@ -146,7 +146,17 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
         def prepare_fn(symbols):
             return jax.block_until_ready(symbols.astype(jnp.int32))
 
-        return init_fn, update_fn, chainback_fn, prepare_fn
+        def make_chainback_chain(k):
+            @jax.jit
+            def run(words):
+                out = None
+                for es in range(k):
+                    out = cb.chainback(code, words, num_data_bits, es)
+                return out
+
+            return run
+
+        return init_fn, update_fn, chainback_fn, prepare_fn, make_chainback_chain
 
     interp = not on_tpu()
 
@@ -181,16 +191,32 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
         m, dec = _update_impl(metrics_sb, sym_native, jnp.int32(T))
         return m, (dec, T, B), jnp.zeros((B,), dtype=jnp.int32)
 
-    def chainback_fn(words_native):
-        dec, T, B = words_native
-        return _chainback_native(dec, T, B)
-
-    @functools.partial(jax.jit, static_argnums=(1, 2))
-    def _chainback_native(dec, T, B):
+    def _chainback_impl(dec, T, B, endstate):
         Bp = dec.shape[2]
-        end = jnp.zeros((1, Bp), dtype=jnp.int32)
+        end = jnp.full((1, Bp), endstate & (code.num_states - 1), dtype=jnp.int32)
         bits_words = kernels.chainback_tb(code, dec, end, jnp.int32(T), interp)
         bits = unpack_bit_words(bits_words, T)[:B]
         return bits_to_bytes(bits[:, code.K - 1 : code.K - 1 + num_data_bits])
 
-    return init_fn, update_fn, chainback_fn, prepare_fn
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _chainback_native(dec, T, B):
+        return _chainback_impl(dec, T, B, 0)
+
+    def chainback_fn(words_native):
+        dec, T, B = words_native
+        return _chainback_native(dec, T, B)
+
+    def make_chainback_chain(k):
+        """In-jit chain of k tracebacks with distinct endstates (defeats CSE)
+        for pure-device marginal timing."""
+
+        @functools.partial(jax.jit, static_argnums=(1, 2))
+        def run(dec, T, B):
+            out = None
+            for es in range(k):
+                out = _chainback_impl(dec, T, B, es)
+            return out
+
+        return lambda words: run(words[0], words[1], words[2])
+
+    return init_fn, update_fn, chainback_fn, prepare_fn, make_chainback_chain
