@@ -29,6 +29,8 @@ from .configs import (
     soft16_spec,
 )
 from .models.decoder import ViterbiDecoder, decode_frames
+from .models.functional import decode_fn, decode_symbols
+from .models.streaming import StreamingDecoder
 
 __version__ = "0.1.0"
 
@@ -36,7 +38,10 @@ __all__ = [
     "CodeSpec",
     "NumericSpec",
     "ViterbiDecoder",
+    "StreamingDecoder",
     "decode_frames",
+    "decode_fn",
+    "decode_symbols",
     "VITERBI27",
     "VITERBI47",
     "VITERBI29",

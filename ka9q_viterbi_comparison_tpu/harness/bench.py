@@ -207,7 +207,7 @@ def run_phase_bench(
     # Chainback is often faster than transport jitter; its chain runs
     # IN-jit (varied endstates defeat CSE) so the marginal is pure device
     # time even for sub-ms phases.
-    n_chain_cb = 8 if make_cb_chain is not None else 1
+    n_chain_cb = 64 if make_cb_chain is not None else 1
     if make_cb_chain is not None:
         cb_chain_1 = make_cb_chain(1)
         cb_chain_n = make_cb_chain(n_chain_cb)
