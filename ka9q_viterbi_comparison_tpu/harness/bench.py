@@ -265,6 +265,9 @@ def run_phase_bench(
                 max((tcn - tc1) // (n_chain_cb - 1), floor),
             ))
 
+    # The timing chain's last link traces back from a nonzero endstate (CSE
+    # defeat); recompute the real output for the correctness check.
+    out = sync(chainback_fn(words))
     errors = count_bit_errors(np.asarray(out), data)
     return BenchResult(
         name=name,
