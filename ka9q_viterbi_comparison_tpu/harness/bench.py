@@ -158,11 +158,15 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
         return jax.block_until_ready(symbols.astype(jnp.int32))
 
     def make_chainback_chain(k):
+        # Data-dependent links (endstate from previous output): XLA can
+        # neither CSE nor dead-code-eliminate the chain.
         @jax.jit
         def run(words):
+            es = jnp.int32(0)
             out = None
-            for es in range(k):
+            for _ in range(k):
                 out = cb.chainback(code, words, num_data_bits, es)
+                es = out[0, -1].astype(jnp.int32)
             return out
 
         return run

@@ -207,14 +207,17 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
         return _chainback_native(dec, T, B)
 
     def make_chainback_chain(k):
-        """In-jit chain of k tracebacks with distinct endstates (defeats CSE)
-        for pure-device marginal timing."""
+        """In-jit chain of k tracebacks for pure-device marginal timing.
+        Each link's endstate derives from the previous link's output, so the
+        links are data-dependent -- XLA can neither CSE nor dead-code them."""
 
         @functools.partial(jax.jit, static_argnums=(1, 2))
         def run(dec, T, B):
+            es = jnp.int32(0)
             out = None
-            for es in range(k):
+            for _ in range(k):
                 out = _chainback_impl(dec, T, B, es)
+                es = out[0, -1].astype(jnp.int32)
             return out
 
         return lambda words: run(words[0], words[1], words[2])
