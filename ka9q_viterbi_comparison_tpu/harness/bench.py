@@ -158,15 +158,21 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
         return jax.block_until_ready(symbols.astype(jnp.int32))
 
     def make_chainback_chain(k):
-        # Data-dependent links (endstate from previous output): XLA can
-        # neither CSE nor dead-code-eliminate the chain.
+        # Data-dependent links (endstate from previous output) so XLA can
+        # neither CSE nor dead-code them; fori_loop keeps compile time
+        # independent of k.
         @jax.jit
         def run(words):
-            es = jnp.int32(0)
-            out = None
-            for _ in range(k):
+            out0 = cb.chainback(code, words, num_data_bits, jnp.int32(0))
+
+            def body(_, carry):
+                es, prev = carry
                 out = cb.chainback(code, words, num_data_bits, es)
-                es = out[0, -1].astype(jnp.int32)
+                return out[0, -1].astype(jnp.int32), out
+
+            _, out = jax.lax.fori_loop(
+                0, k - 1, body, (out0[0, -1].astype(jnp.int32), out0)
+            )
             return out
 
         return run

@@ -208,16 +208,22 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
 
     def make_chainback_chain(k):
         """In-jit chain of k tracebacks for pure-device marginal timing.
-        Each link's endstate derives from the previous link's output, so the
-        links are data-dependent -- XLA can neither CSE nor dead-code them."""
+        Each link's endstate derives from the previous link's output (XLA can
+        neither CSE nor dead-code the links); a fori_loop keeps compile time
+        independent of k."""
 
         @functools.partial(jax.jit, static_argnums=(1, 2))
         def run(dec, T, B):
-            es = jnp.int32(0)
-            out = None
-            for _ in range(k):
+            out0 = _chainback_impl(dec, T, B, jnp.int32(0))
+
+            def body(_, carry):
+                es, prev = carry
                 out = _chainback_impl(dec, T, B, es)
-                es = out[0, -1].astype(jnp.int32)
+                return out[0, -1].astype(jnp.int32), out
+
+            _, out = jax.lax.fori_loop(
+                0, k - 1, body, (out0[0, -1].astype(jnp.int32), out0)
+            )
             return out
 
         return lambda words: run(words[0], words[1], words[2])
