@@ -78,6 +78,7 @@ def run_matrix(
     batch_override: int | None = None,
     frame_bytes_override: int | None = None,
     seed: int = 0,
+    backends: list[str] | None = None,
 ) -> None:
     rng = np.random.default_rng(seed)
     out_fp.write("[\n")
@@ -90,7 +91,7 @@ def run_matrix(
               file=sys.stderr, flush=True)
         data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
         symbols = jax.block_until_ready(encode_frames(code, numeric, jnp.asarray(data)))
-        for backend in backends_for(code):
+        for backend in (backends or backends_for(code)):
             print(f"- {backend}", file=sys.stderr, flush=True)
             if backend == "native":
                 nb = min(B, NATIVE_BATCH[code.name])
@@ -129,6 +130,10 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=None, help="Override batch size")
     p.add_argument("--frame-bytes", type=int, default=None,
                    help="Override data bytes per frame")
+    p.add_argument("--backends", nargs="*", default=None,
+                   choices=["pallas", "jnp", "native"],
+                   help="Subset of decoder families (default: all available)")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     codes = STANDARD_CODES
@@ -141,14 +146,14 @@ def main(argv=None) -> None:
 
     if args.output == "-":
         run_matrix(args.sampling_time, args.minimum_samples, sys.stdout, codes,
-                   args.batch, args.frame_bytes)
+                   args.batch, args.frame_bytes, args.seed, args.backends)
     else:
         import os
 
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
         with open(args.output, "w") as f:
             run_matrix(args.sampling_time, args.minimum_samples, f, codes,
-                       args.batch, args.frame_bytes)
+                       args.batch, args.frame_bytes, args.seed, args.backends)
 
 
 if __name__ == "__main__":
