@@ -33,7 +33,15 @@ def on_tpu() -> bool:
 
 
 def supports(code: CodeSpec) -> bool:
-    """VMEM-resident kernels need the whole metric vector on chip."""
+    """Whole-frame VMEM-resident update kernel: best for small trellises.
+    Larger ones (K >= 10) run faster on the state-blocked large_k kernel
+    (measured at K=15: 12.7 vs 9.6 Msym/s)."""
+    return code.K <= 9
+
+
+def supports_chainback(code: CodeSpec) -> bool:
+    """The batched traceback kernel needs the per-step word vector blocks in
+    VMEM -- fine through K=15 (W=512), not at K=24 (W=256Ki)."""
     return code.K <= 15
 
 
@@ -101,7 +109,7 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbo
 
 def chainback(code: CodeSpec, words: jnp.ndarray, num_data_bits: int, endstate=0) -> jnp.ndarray:
     """Batch-major wrapper matching ``ops.chainback.chainback``'s contract."""
-    if not supports(code):
+    if not supports_chainback(code):
         return cb.chainback(code, words, num_data_bits, endstate)
     B, T, W = words.shape
     Bp = _pad_batch(B)
@@ -126,10 +134,13 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
     layout *outside* the timed phases (the reference likewise encodes its
     symbol buffer outside the timed loop, ref: src/main.cpp:246-255)."""
     if not supports(code):
-        # Large-K family: state-blocked update kernel, jnp traceback.
+        # Large-K family: state-blocked update kernel; traceback via the
+        # batched pallas kernel while its word blocks fit VMEM (K <= 15),
+        # else the jnp walk.
         from . import large_k
 
         interp_lg = not on_tpu()
+        cb_fn = chainback if supports_chainback(code) else cb.chainback
 
         def init_fn(batch):
             return acs.init_metrics(code, numeric, batch)
@@ -141,7 +152,7 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
             return m, words, jnp.zeros((symbols.shape[0],), dtype=jnp.int32)
 
         def chainback_fn(words):
-            return cb.chainback(code, words, num_data_bits)
+            return cb_fn(code, words, num_data_bits)
 
         def prepare_fn(symbols):
             return jax.block_until_ready(symbols.astype(jnp.int32))
@@ -149,9 +160,16 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
         def make_chainback_chain(k):
             @jax.jit
             def run(words):
-                out = None
-                for es in range(k):
-                    out = cb.chainback(code, words, num_data_bits, es)
+                out0 = cb_fn(code, words, num_data_bits, jnp.int32(0))
+
+                def body(_, carry):
+                    es, prev = carry
+                    out = cb_fn(code, words, num_data_bits, es)
+                    return out[0, -1].astype(jnp.int32), out
+
+                _, out = jax.lax.fori_loop(
+                    0, k - 1, body, (out0[0, -1].astype(jnp.int32), out0)
+                )
                 return out
 
             return run
