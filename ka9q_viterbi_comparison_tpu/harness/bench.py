@@ -258,11 +258,17 @@ def run_phase_bench(
             tc, out = run_chainback(1, words)
             samples.append(PhaseSample(ti, tu, tc))
         else:
+            # Baselines are min-of-two: transport jitter (~10 ms) on a single
+            # t1 can exceed the whole chain extension and flip the marginal
+            # negative.
             ti1, metrics = run_init(1)
+            ti1 = min(ti1, run_init(1)[0])
             tin, _ = run_init(n_chain)
             tu1, _ = run_update(1, metrics)
+            tu1 = min(tu1, run_update(1, metrics)[0])
             tun, words = run_update(n_chain, metrics)
             tc1, _ = run_chainback(1, words)
+            tc1 = min(tc1, run_chainback(1, words)[0])
             tcn, out = run_chainback(n_chain_cb, words)
             d = n_chain - 1
             # Clamp to 1us: a marginal at or below zero means the phase is
