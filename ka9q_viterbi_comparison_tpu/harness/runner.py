@@ -9,8 +9,10 @@ reference's analysis scripts -- and this repo's re-implementations in
 The test matrix is the reference's six configs at its frame sizes
 (ref: src/main.cpp:363-419); "decoder families" become TPU backends:
 
+* ``pallas`` -- the fused TPU kernels (VMEM-resident through K=9, the
+  state-blocked large-K kernel above; every config).
 * ``jnp``    -- the portable XLA scan path (every config).
-* ``pallas`` -- the fused VMEM kernels (K <= 15 configs).
+* ``native`` -- the C++ host decoder (cpu_native), when a toolchain exists.
 
 Progress goes to stderr, samples to the JSON file -- the reference's two
 output channels (ref: src/main.cpp:27-31).

@@ -3,9 +3,11 @@
 Bridges the framework's batch-major public API (``[B, ...]`` arrays, the
 layout the jnp reference path uses) to the kernels' state-major ``[S, B]``
 layout, handling batch padding to the 128-lane width, time padding to the
-kernel's block size, interpreter mode off-TPU, and the K=24 fallback (the
-8M-state metric vector exceeds VMEM; it runs on the fused jnp scan until the
-state-sharded kernel lands).
+kernel's block size, and interpreter mode off-TPU.  Kernel tiers by trellis
+size: whole-frame VMEM-resident kernels for K <= 9, the state-blocked
+``large_k`` update kernel for K >= 10 (measured faster from K=15 up), and
+the batched pallas traceback through K=15 (K=24's word vectors exceed VMEM;
+its traceback runs on the jnp walk).
 
 ``phase_fns`` returns the three lifecycle phases in *native* kernel layout
 with no transposes between phases -- the configuration the benchmark measures.
