@@ -47,9 +47,10 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    # Measured sweet spot on v5e (marginal chained timing): per-symbol cost
-    # is lowest at batch ~1024; larger batches scale sublinearly.
-    B = args.batch or (1024 if on_tpu else 8)
+    # Measured sweet spot on v5e (marginal chained timing): throughput peaks
+    # at batch ~512 (2.57 Gsym/s; the kernel is VPU-bound there) and falls
+    # off both ways (256: 1.2G, 1024: 1.8G, 4096: 1.3G).
+    B = args.batch or (512 if on_tpu else 8)
     n_bytes = args.bytes if on_tpu else min(args.bytes, 64)
     backend = args.backend
     if backend == "auto":

@@ -42,8 +42,8 @@ __all__ = ["main", "run_matrix"]
 # Batch sizes per config: the TPU's throughput axis.  Sized so decision
 # storage stays comfortably in HBM (K=24's is ~1 MiB per frame per bit).
 DEFAULT_BATCH = {
-    "viterbi27": 1024,
-    "viterbi47": 1024,
+    "viterbi27": 512,   # measured throughput peak for the K=7 kernel
+    "viterbi47": 512,
     "viterbi29": 512,
     "viterbi49": 512,
     "viterbi615": 128,  # the Pallas lane width; smaller batches pad up to it
