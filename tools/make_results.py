@@ -49,6 +49,13 @@ harness/bench.py).  Families:
 
 Reference hardware numbers to compare against are in `BASELINE.md`.
 
+Known structural exception: the K=24 chainback phase. Its traceback reads one
+word per frame per step out of a 1 MiB decision row — a serial pointer-chase
+that is latency-bound on an accelerator, and decision-memory capacity caps the
+batch that could amortise it. The reference's CPU wins that single phase; it
+is ~100x cheaper than the K=24 symbol update in absolute terms, so end-to-end
+K=24 decode remains faster here.
+
 """
     with open(os.path.join(REPO, args.out), "w") as f:
         f.write(header + tables)
