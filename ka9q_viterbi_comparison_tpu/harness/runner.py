@@ -47,7 +47,7 @@ DEFAULT_BATCH = {
     "viterbi29": 512,
     "viterbi49": 512,
     "viterbi615": 128,  # the Pallas lane width; smaller batches pad up to it
-    "viterbi224": 16,  # larger batch amortises the serial traceback walk
+    "viterbi224": 4,
 }
 
 
