@@ -1,0 +1,256 @@
+"""Depth-2 fused state-blocked ACS for very large trellises (K=24).
+
+``large_k`` moves the whole metric vector through HBM once per trellis step
+plus an XLA column re-interleave -- ~2x the algorithmic minimum.  This kernel
+fuses TWO trellis steps per launch: the intermediate metrics never leave the
+kernel, so metric traffic (and the XLA re-interleave) halve per step.
+
+Key representation trick: intermediates are kept in RAW BUTTERFLY
+COORDINATES.  With state layout ``s = 32c + g`` (sublane g, lane-column c),
+the first butterfly's successor ``i = 2*(32c+g) + b1 = 64c + 2g + b1`` is
+simply *indexed by* ``(b1, g, c)`` -- no scatter is materialised.  The second
+butterfly's predecessor pairing ``(i, i + S/2)`` is elementwise between the
+two intermediate groups at identical ``(b1, g, c)`` (adding S/2 only offsets
+the column range), and its successor ``f = 2i + b2 = 128c + 4g + 2b1 + b2``
+decomposes as
+
+    column(f) = 4c + (g >> 3)          (mod-4 column residue classes)
+    row(f)    = 4*(g & 7) + 2*b1 + b2  (a sublane interleave of the four
+                                        (b1, b2) candidate arrays)
+
+so the final scatter is four sublane stack/reshapes (supported by Mosaic)
+into four mod-4 column-residue outputs, re-interleaved once per TWO steps in
+XLA.  Decision words pack in-kernel with weighted sublane reductions:
+step-t words at bit ``2*(g&15) + b1``, step-t+1 words at bit ``4q + k``.
+
+Inputs per grid block j (final states ``[j*blk, (j+1)*blk)``): the four
+original predecessor column ranges ``P0 + k*S/4`` (k = 0..3), each contiguous.
+Each intermediate is consumed by exactly one final block, so there is no
+recomputation.
+
+Used for even numbers of trellis steps; an odd tail step runs on the
+single-step ``large_k`` kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...configs import CodeSpec, NumericSpec
+from . import large_k
+
+__all__ = ["acs_update_large2"]
+
+PACK = 32
+
+
+def _parity_fold(x):
+    for shift in (16, 8, 4, 2, 1):
+        x = x ^ (x >> shift)
+    return x & 1
+
+
+def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt):
+    """Lb4: predecessor columns per input block (= blk / (4*32))."""
+    K, R = code.K, code.R
+    low = numeric.soft_low
+    high = numeric.soft_high
+    hl = high + low
+    S = code.num_states
+
+    def kernel(in0, in1, in2, in3, sym_ref,
+               m0_ref, m1_ref, m2_ref, m3_ref,
+               w1el_ref, w1eh_ref, w1ol_ref, w1oh_ref,
+               w2_0_ref, w2_1_ref, w2_2_ref, w2_3_ref):
+        # in_k: [B, 32, Lb4] original metrics for columns base_k + [0, Lb4);
+        # sym_ref: [B, 2, R] (symbols for steps t, t+1);
+        # m*_ref: [B, 32, Lb4] final metrics, column residue * mod 4;
+        # w1{e,o}{l,h}_ref: [B, Lb4] step-t words (even/odd col x group lo/hi);
+        # w2_*_ref: [B, Lb4] step-t+1 words, column residue * mod 4.
+        j = pl.program_id(0)
+        ins = (in0, in1, in2, in3)
+        B = in0.shape[0]
+
+        g = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, Lb4), 1)
+        c_rel = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, Lb4), 2)
+
+        # Per-step symbol affine pieces (compute int32; storage mdt).
+        bases = []
+        coefs = []
+        for step in (0, 1):
+            base_s = jnp.zeros((B, 1, 1), dtype=jnp.int32)
+            cf = []
+            for r in range(R):
+                y = sym_ref[:, step, r].reshape(B, 1, 1)
+                base_s = base_s + (y - low)
+                cf.append(hl - 2 * y)
+            bases.append(jnp.broadcast_to(base_s, (B, PACK, 1)))
+            coefs.append([jnp.broadcast_to(x, (B, PACK, 1)) for x in cf])
+
+        def penalties(step, pred_idx, b):
+            """pen_lo, pen_hi [B, PACK, Lb4] for transitions from preds
+            ``pred_idx`` (and + S/2) taking input bit b."""
+            pen_lo = jnp.broadcast_to(bases[step], (B, PACK, Lb4))
+            pen_hi = pen_lo
+            for r, (p, inv) in enumerate(zip(code.abs_polys(), code.inversions())):
+                c_hi_bit = (p >> (K - 1)) & 1
+                base_bits = (b & p & 1) ^ (1 if inv else 0)
+                par = _parity_fold(pred_idx & (p >> 1))
+                e_lo = par ^ base_bits
+                e_hi = par ^ (base_bits ^ c_hi_bit)
+                pen_lo = pen_lo + e_lo * coefs[step][r]
+                pen_hi = pen_hi + e_hi * coefs[step][r]
+            return pen_lo, pen_hi
+
+        # ---- butterfly 1 (step t): two intermediate groups ----
+        # group 0 (intermediates I0): preds P0 (in0) and P0 + S/2 (in2);
+        # group 1 (I0 + S/2):        preds P0 + S/4 (in1) and + 3S/4 (in3).
+        cands = {}   # (grp, b1) -> [B, PACK, Lb4] (int32 compute)
+        d1 = {}
+        for grp in (0, 1):
+            lo = ins[grp][:].astype(jnp.int32)
+            hi = ins[grp + 2][:].astype(jnp.int32)
+            p_base = (j + grp * NB) * Lb4  # column offset of this pred range
+            pred_idx = (p_base + c_rel) * PACK + g
+            for b1 in (0, 1):
+                pen_lo, pen_hi = penalties(0, pred_idx, b1)
+                c_lo = lo + pen_lo
+                c_hi = hi + pen_hi
+                d = c_hi < c_lo
+                cands[(grp, b1)] = jnp.where(d, c_hi, c_lo)
+                d1[(grp, b1)] = d.astype(jnp.int32)
+
+        # step-t decision words: intermediate i = 64c + 2g + b1 lives in word
+        # column 2c + (g >= 16), bit 2*(g & 15) + b1.
+        q16 = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+        for grp, (ev_ref, od_ref) in ((0, (w1el_ref, w1ol_ref)),
+                                      (1, (w1eh_ref, w1oh_ref))):
+            for ref, sl in ((ev_ref, slice(0, 16)), (od_ref, slice(16, 32))):
+                acc = (
+                    d1[(grp, 0)][:, sl, :]
+                    * jax.lax.shift_left(jnp.ones((1, 16, 1), jnp.int32), 2 * q16)
+                    + d1[(grp, 1)][:, sl, :]
+                    * jax.lax.shift_left(jnp.ones((1, 16, 1), jnp.int32), 2 * q16 + 1)
+                )
+                ref[:] = acc.sum(axis=1)
+
+        # ---- butterfly 2 (step t+1) ----
+        # Intermediate natural index i = 64*(p_base0 + c_rel)... group 0's
+        # intermediate columns start at 2 * P0-column-base; i and i + S/2
+        # pair group 0 with group 1 elementwise.
+        cand2 = {}
+        d2 = {}
+        for b1 in (0, 1):
+            # Natural intermediate index: i = 64*c_abs + 2g + b1 with
+            # c_abs = j*Lb4 + c_rel (original predecessor column).
+            i_idx = 64 * (j * Lb4 + c_rel) + 2 * g + b1
+            for b2 in (0, 1):
+                pen_lo, pen_hi = penalties(1, i_idx, b2)
+                c_lo = cands[(0, b1)] + pen_lo
+                c_hi = cands[(1, b1)] + pen_hi
+                d = c_hi < c_lo
+                k = 2 * b1 + b2
+                cand2[k] = jnp.where(d, c_hi, c_lo)
+                d2[k] = d.astype(jnp.int32)
+
+        # Final scatter: f = 128c + 4g + 2b1 + b2 -> column 4c + (g>>3),
+        # row 4*(g&7) + k.  Output o-residue array rows 4q+k come from
+        # cand2[k][8o + q].
+        outs = (m0_ref, m1_ref, m2_ref, m3_ref)
+        wouts = (w2_0_ref, w2_1_ref, w2_2_ref, w2_3_ref)
+        q8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+        for o in range(4):
+            rows = slice(8 * o, 8 * o + 8)
+            stacked = jnp.stack(
+                [cand2[k][:, rows, :] for k in range(4)], axis=2
+            ).reshape(B, PACK, Lb4)
+            outs[o][:] = stacked.astype(mdt)
+            # Words: bit 4q + k of word col 4c + o.
+            acc = None
+            for k in range(4):
+                piece = d2[k][:, rows, :] * jax.lax.shift_left(
+                    jnp.ones((1, 8, 1), jnp.int32), 4 * q8 + k
+                )
+                acc = piece if acc is None else acc + piece
+            wouts[o][:] = acc.sum(axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def acs_update_large2(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    metrics: jnp.ndarray,
+    symbols: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Two-steps-per-launch ACS; same contract as ``acs_update_large``.
+
+    Returns ``(metrics [B, S] int32, words [B, T, W] uint32)``.
+    """
+    B, S = metrics.shape
+    _, T, R = symbols.shape
+    blk = large_k.pick_state_block(code)
+    NB = S // blk
+    C = S // PACK
+    Lb4 = blk // (4 * PACK)
+    assert NB * Lb4 * 4 == C
+
+    mdt = large_k.metric_dtype_for(code, numeric, T)
+    kernel = _pair_kernel(code, numeric, Lb4, NB, mdt)
+    m_shape = jax.ShapeDtypeStruct((B, PACK, C // 4), mdt)
+    w_shape = jax.ShapeDtypeStruct((B, C // 4), jnp.int32)
+    in_spec = lambda k: pl.BlockSpec(
+        (B, PACK, Lb4), lambda j, k=k: (0, 0, j + k * NB), memory_space=pltpu.VMEM
+    )
+    out3 = pl.BlockSpec((B, PACK, Lb4), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
+    out2 = pl.BlockSpec((B, Lb4), lambda j: (0, j), memory_space=pltpu.VMEM)
+
+    step_call = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[in_spec(0), in_spec(1), in_spec(2), in_spec(3),
+                  pl.BlockSpec((B, 2, R), lambda j: (0, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=[out3] * 4 + [out2] * 8,
+        out_shape=[m_shape] * 4 + [w_shape] * 8,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def pair_body(m3, sym_pair):  # m3: [B, PACK, C] mdt; sym_pair [B, 2, R]
+        m0, m1, m2, m3_, w1el, w1eh, w1ol, w1oh, w20, w21, w22, w23 = step_call(
+            m3, m3, m3, m3, sym_pair
+        )
+        m_next = jnp.stack([m0, m1, m2, m3_], axis=-1).reshape(B, PACK, C)
+        w1e = jnp.concatenate([w1el, w1eh], axis=-1)  # [B, C/2] word cols 2c
+        w1o = jnp.concatenate([w1ol, w1oh], axis=-1)
+        w1 = jnp.stack([w1e, w1o], axis=-1).reshape(B, C)
+        w2 = jnp.stack([w20, w21, w22, w23], axis=-1).reshape(B, C)
+        return m_next, jnp.stack([w1, w2], axis=0)  # [2, B, C]
+
+    T2 = T // 2
+    m3 = metrics.reshape(B, C, PACK).transpose(0, 2, 1).astype(mdt)
+    sym_pairs = symbols[:, : 2 * T2].reshape(B, T2, 2, R).transpose(1, 0, 2, 3)
+    m3, words2 = jax.lax.scan(pair_body, m3, sym_pairs)
+    # words2: [T2, 2, B, C] -> [T, B, C] (step order t, t+1 per pair)
+    words = words2.reshape(T2 * 2, B, C)
+
+    m_final = m3.astype(jnp.int32).transpose(0, 2, 1).reshape(B, S)
+    all_words = jax.lax.bitcast_convert_type(words.transpose(1, 0, 2), jnp.uint32)
+
+    if T % 2:
+        # Odd tail: one single-step launch on the last symbol.
+        m_final, w_tail = large_k.acs_update_large.__wrapped__(
+            code, numeric, m_final, symbols[:, T - 1 :], interpret
+        )
+        all_words = jnp.concatenate([all_words, w_tail], axis=1)
+    return m_final, all_words
