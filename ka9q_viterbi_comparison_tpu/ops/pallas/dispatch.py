@@ -88,10 +88,11 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbo
     B, T, R = symbols.shape
     Bp = _pad_batch(B)
     if not supports(code):
-        # Large-K: state-blocked kernel with HBM-resident metrics.
-        from . import large_k
+        # Large-K: state-blocked kernel with HBM-resident metrics, two
+        # trellis steps fused per launch.
+        from . import large_k2
 
-        m, words = large_k.acs_update_large(
+        m, words = large_k2.acs_update_large2(
             code, numeric, metrics, symbols.astype(jnp.int32), not on_tpu()
         )
         return m, words, jnp.zeros((B,), dtype=jnp.int32)
@@ -136,10 +137,10 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
     layout *outside* the timed phases (the reference likewise encodes its
     symbol buffer outside the timed loop, ref: src/main.cpp:246-255)."""
     if not supports(code):
-        # Large-K family: state-blocked update kernel; traceback via the
-        # batched pallas kernel while its word blocks fit VMEM (K <= 15),
-        # else the jnp walk.
-        from . import large_k
+        # Large-K family: state-blocked update kernel (two steps fused per
+        # launch); traceback via the batched pallas kernel while its word
+        # blocks fit VMEM (K <= 15), else the jnp walk.
+        from . import large_k2
 
         interp_lg = not on_tpu()
         cb_fn = chainback if supports_chainback(code) else cb.chainback
@@ -148,7 +149,7 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
             return acs.init_metrics(code, numeric, batch)
 
         def update_fn(metrics, symbols):
-            m, words = large_k.acs_update_large(
+            m, words = large_k2.acs_update_large2(
                 code, numeric, metrics, symbols, interp_lg
             )
             return m, words, jnp.zeros((symbols.shape[0],), dtype=jnp.int32)

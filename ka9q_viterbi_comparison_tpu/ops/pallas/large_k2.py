@@ -68,7 +68,8 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt):
                w1el_ref, w1eh_ref, w1ol_ref, w1oh_ref,
                w2_0_ref, w2_1_ref, w2_2_ref, w2_3_ref):
         # in_k: [B, 32, Lb4] original metrics for columns base_k + [0, Lb4);
-        # sym_ref: [B, 2, R] (symbols for steps t, t+1);
+        # sym_ref: [B, 2*R] (symbols for steps t then t+1, flattened -- a 3-D
+        # sym block trips Mosaic's broadcast lowering);
         # m*_ref: [B, 32, Lb4] final metrics, column residue * mod 4;
         # w1{e,o}{l,h}_ref: [B, Lb4] step-t words (even/odd col x group lo/hi);
         # w2_*_ref: [B, Lb4] step-t+1 words, column residue * mod 4.
@@ -86,7 +87,7 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt):
             base_s = jnp.zeros((B, 1, 1), dtype=jnp.int32)
             cf = []
             for r in range(R):
-                y = sym_ref[:, step, r].reshape(B, 1, 1)
+                y = sym_ref[:, step * R + r].reshape(B, 1, 1)
                 base_s = base_s + (y - low)
                 cf.append(hl - 2 * y)
             bases.append(jnp.broadcast_to(base_s, (B, PACK, 1)))
@@ -182,13 +183,14 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def acs_update_large2(
     code: CodeSpec,
     numeric: NumericSpec,
     metrics: jnp.ndarray,
     symbols: jnp.ndarray,
     interpret: bool = False,
+    metric_dtype: str | None = None,
 ):
     """Two-steps-per-launch ACS; same contract as ``acs_update_large``.
 
@@ -202,7 +204,10 @@ def acs_update_large2(
     Lb4 = blk // (4 * PACK)
     assert NB * Lb4 * 4 == C
 
-    mdt = large_k.metric_dtype_for(code, numeric, T)
+    if metric_dtype is not None:
+        mdt = jnp.dtype(metric_dtype).type
+    else:
+        mdt = large_k.metric_dtype_for(code, numeric, T)
     kernel = _pair_kernel(code, numeric, Lb4, NB, mdt)
     m_shape = jax.ShapeDtypeStruct((B, PACK, C // 4), mdt)
     w_shape = jax.ShapeDtypeStruct((B, C // 4), jnp.int32)
@@ -216,7 +221,7 @@ def acs_update_large2(
         kernel,
         grid=(NB,),
         in_specs=[in_spec(0), in_spec(1), in_spec(2), in_spec(3),
-                  pl.BlockSpec((B, 2, R), lambda j: (0, 0, 0), memory_space=pltpu.VMEM)],
+                  pl.BlockSpec((B, 2 * R), lambda j: (0, 0), memory_space=pltpu.VMEM)],
         out_specs=[out3] * 4 + [out2] * 8,
         out_shape=[m_shape] * 4 + [w_shape] * 8,
         compiler_params=pltpu.CompilerParams(
@@ -226,7 +231,7 @@ def acs_update_large2(
         interpret=interpret,
     )
 
-    def pair_body(m3, sym_pair):  # m3: [B, PACK, C] mdt; sym_pair [B, 2, R]
+    def pair_body(m3, sym_pair):  # m3: [B, PACK, C] mdt; sym_pair [B, 2*R]
         m0, m1, m2, m3_, w1el, w1eh, w1ol, w1oh, w20, w21, w22, w23 = step_call(
             m3, m3, m3, m3, sym_pair
         )
@@ -239,7 +244,7 @@ def acs_update_large2(
 
     T2 = T // 2
     m3 = metrics.reshape(B, C, PACK).transpose(0, 2, 1).astype(mdt)
-    sym_pairs = symbols[:, : 2 * T2].reshape(B, T2, 2, R).transpose(1, 0, 2, 3)
+    sym_pairs = symbols[:, : 2 * T2].reshape(B, T2, 2 * R).transpose(1, 0, 2)
     m3, words2 = jax.lax.scan(pair_body, m3, sym_pairs)
     # words2: [T2, 2, B, C] -> [T, B, C] (step order t, t+1 per pair)
     words = words2.reshape(T2 * 2, B, C)
