@@ -33,3 +33,39 @@ def test_large_k_matches_jnp(code, n_bytes, rng):
 
     out = cb.chainback(code, words_lg, n_bytes * 8)
     assert count_bit_errors(np.asarray(out), data) == 0
+
+
+@pytest.mark.parametrize("code,n_bytes", [(VITERBI29, 16), (VITERBI615, 4)],
+                         ids=["viterbi29", "viterbi615"])
+def test_large_k2_matches_jnp(code, n_bytes, rng):
+    """Depth-2 fused kernel: bit-identical metrics and decision words."""
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k2
+
+    numeric = soft8_spec(code.R)
+    B = 2
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    m2, words2 = large_k2.acs_update_large2(code, numeric, m0, syms, True)
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(words2), np.asarray(words_ref))
+
+
+def test_large_k2_odd_tail(rng):
+    """Odd step counts route the final step through the single-step kernel
+    (K=8 gives odd T; K=24's frames are always odd)."""
+    from ka9q_viterbi_comparison_tpu import CodeSpec
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k2
+
+    code = CodeSpec("k8r2", K=8, R=2, polys=(0o357, 0o251))
+    numeric = soft8_spec(2)
+    data = rng.integers(0, 256, size=(2, 8), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(2, -1, 2)
+    assert syms.shape[1] % 2 == 1
+    m0 = acs.init_metrics(code, numeric, 2)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    m2, words2 = large_k2.acs_update_large2(code, numeric, m0, syms, True)
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(words2), np.asarray(words_ref))
