@@ -313,6 +313,7 @@ def time_update_marginal(
     """
     from ..ops.pallas import dispatch
     from ..ops.pallas import kernels as plk
+    from ..ops.pallas import kernels2 as plk2
 
     B, T, R = symbols.shape[0], symbols.shape[1] // 1, code.R
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
@@ -332,7 +333,7 @@ def time_update_marginal(
             def run(m, sym):
                 dec = None
                 for _ in range(n):
-                    m, dec = plk.acs_update_tb(code, numeric, m, sym, jnp.int32(T))
+                    m, dec = plk2.acs_update_tb2(code, numeric, m, sym, jnp.int32(T))
                 return m, dec
 
             return lambda: run(m0, sym_native)

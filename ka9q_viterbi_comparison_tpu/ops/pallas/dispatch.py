@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ...configs import CodeSpec, NumericSpec
 from ...utils.bits import bits_to_bytes
 from .. import acs, chainback as cb
-from . import kernels
+from . import kernels, kernels2
 
 __all__ = ["acs_update", "chainback", "phase_fns", "supports", "on_tpu"]
 
@@ -101,7 +101,7 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbo
     Tp = _pad_time(code, T, Bp)
     sym = jnp.pad(symbols, ((0, Bp - B), (0, Tp - T), (0, 0)))
     m = jnp.pad(metrics, ((0, Bp - B), (0, 0)))
-    m_sb, dec = kernels.acs_update_tb(
+    m_sb, dec = kernels2.acs_update_tb2(
         code, numeric, m.T, sym.transpose(1, 2, 0),
         jnp.int32(T), not on_tpu(),
     )
@@ -202,8 +202,8 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
 
     @jax.jit
     def _update_impl(metrics_sb, sym_native, T):
-        m, dec = kernels.acs_update_tb(code, numeric, metrics_sb, sym_native,
-                                       T, interp)
+        m, dec = kernels2.acs_update_tb2(code, numeric, metrics_sb, sym_native,
+                                         T, interp)
         # Native-layout decisions; zero renorm offset (int32 metrics).
         return m, dec
 
