@@ -333,7 +333,7 @@ def time_update_marginal(
             def run(m, sym):
                 dec = None
                 for _ in range(n):
-                    m, dec = plk2.acs_update_tb2(code, numeric, m, sym, jnp.int32(T))
+                    m, dec = plk.acs_update_tb(code, numeric, m, sym, jnp.int32(T))
                 return m, dec
 
             return lambda: run(m0, sym_native)

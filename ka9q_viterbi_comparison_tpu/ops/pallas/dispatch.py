@@ -101,7 +101,7 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbo
     Tp = _pad_time(code, T, Bp)
     sym = jnp.pad(symbols, ((0, Bp - B), (0, Tp - T), (0, 0)))
     m = jnp.pad(metrics, ((0, Bp - B), (0, 0)))
-    m_sb, dec = kernels2.acs_update_tb2(
+    m_sb, dec = kernels.acs_update_tb(
         code, numeric, m.T, sym.transpose(1, 2, 0),
         jnp.int32(T), not on_tpu(),
     )
@@ -202,8 +202,10 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
 
     @jax.jit
     def _update_impl(metrics_sb, sym_native, T):
-        m, dec = kernels2.acs_update_tb2(code, numeric, metrics_sb, sym_native,
-                                         T, interp)
+        # Single-step kernel: fastest at the measured B=512 sweet spot
+        # (the depth-2 kernels2 variant wins only for batches >= ~1024).
+        m, dec = kernels.acs_update_tb(code, numeric, metrics_sb, sym_native,
+                                       T, interp)
         # Native-layout decisions; zero renorm offset (int32 metrics).
         return m, dec
 
