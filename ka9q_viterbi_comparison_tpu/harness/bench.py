@@ -351,18 +351,21 @@ def time_update_marginal(
             return lambda: run(m0, symbols)
 
     def timed(fn):
-        best = None
-        sync(fn())  # compile + warm
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            sync(fn())
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best
+        t0 = time.perf_counter()
+        sync(fn())
+        return time.perf_counter() - t0
 
-    t1 = timed(chain(1))
-    tn = timed(chain(n_chain))
-    marg = max((tn - t1) / (n_chain - 1), 1e-9)
+    c1, cn = chain(1), chain(n_chain)
+    sync(c1())  # compile + warm
+    sync(cn())
+    # Paired samples; median marginal rides out transport jitter and
+    # transient chip contention.
+    margs = []
+    for _ in range(max(iters, 3)):
+        t1 = min(timed(c1), timed(c1))
+        tn = timed(cn)
+        margs.append(max((tn - t1) / (n_chain - 1), 1e-9))
+    marg = float(np.median(margs))
     return B * T * code.R / marg
 
 
