@@ -76,3 +76,19 @@ def test_runner_rejects_unknown_code(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["-o", str(tmp_path / "x.json"), "--codes", "nonesuch"])
+
+
+def test_marginal_update_timer_runs_on_cpu():
+    """time_update_marginal must work (jnp backend) off-TPU."""
+    import jax.numpy as jnp
+
+    from ka9q_viterbi_comparison_tpu import VITERBI27, soft8_spec
+    from ka9q_viterbi_comparison_tpu.harness.bench import time_update_marginal
+    from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
+
+    code, numeric = VITERBI27, soft8_spec(2)
+    data = np.zeros((2, 16), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(2, -1, 2)
+    rate = time_update_marginal(code, numeric, syms, backend="jnp",
+                                n_chain=2, iters=1)
+    assert rate > 0
