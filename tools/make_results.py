@@ -45,7 +45,8 @@ harness/bench.py).  Families:
   for K=24)
 * `tpu_jnp`    — portable XLA `lax.scan` path
 * `cpu_native` — the C++ host decoder (serial per frame), the in-repo CPU
-  baseline
+  baseline.  It runs on this rig's VM cores; compare it against the
+  reference's desktop-CPU numbers in BASELINE.md only directionally.
 
 Reference hardware numbers to compare against are in `BASELINE.md`.
 
