@@ -313,7 +313,6 @@ def time_update_marginal(
     """
     from ..ops.pallas import dispatch
     from ..ops.pallas import kernels as plk
-    from ..ops.pallas import kernels2 as plk2
 
     B, T, R = symbols.shape[0], symbols.shape[1] // 1, code.R
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 
 from ..configs import CodeSpec, NumericSpec
