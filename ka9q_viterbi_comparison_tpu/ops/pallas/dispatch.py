@@ -62,6 +62,15 @@ def fits_vmem(code: CodeSpec, batch_padded: int) -> bool:
     return need * 2.5 <= kernels.VMEM_CAP
 
 
+def _small_k_impl(batch_padded: int):
+    """Single-step kernel is fastest at the measured B=512 sweet spot; the
+    depth-2 fused variant (kernels2) wins from ~1024 lanes-of-batch up
+    (2.19 vs 1.81 Gsym/s at B=1024 for K=7)."""
+    if batch_padded >= 1024:
+        return kernels2.acs_update_tb2
+    return kernels.acs_update_tb
+
+
 def _pad_batch(B: int) -> int:
     if not on_tpu():
         return B
@@ -101,7 +110,8 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbo
     Tp = _pad_time(code, T, Bp)
     sym = jnp.pad(symbols, ((0, Bp - B), (0, Tp - T), (0, 0)))
     m = jnp.pad(metrics, ((0, Bp - B), (0, 0)))
-    m_sb, dec = kernels.acs_update_tb(
+    impl = _small_k_impl(Bp)
+    m_sb, dec = impl(
         code, numeric, m.T, sym.transpose(1, 2, 0),
         jnp.int32(T), not on_tpu(),
     )
@@ -202,10 +212,8 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
 
     @jax.jit
     def _update_impl(metrics_sb, sym_native, T):
-        # Single-step kernel: fastest at the measured B=512 sweet spot
-        # (the depth-2 kernels2 variant wins only for batches >= ~1024).
-        m, dec = kernels.acs_update_tb(code, numeric, metrics_sb, sym_native,
-                                       T, interp)
+        impl = _small_k_impl(metrics_sb.shape[1])
+        m, dec = impl(code, numeric, metrics_sb, sym_native, T, interp)
         # Native-layout decisions; zero renorm offset (int32 metrics).
         return m, dec
 
