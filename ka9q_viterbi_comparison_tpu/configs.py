@@ -35,7 +35,6 @@ behaviour of the reference decoders, ref: ka9q_libfec_port/viterbi27_sse2.cpp):
 from __future__ import annotations
 
 import dataclasses
-from typing import Literal
 
 import numpy as np
 
@@ -132,9 +131,6 @@ class CodeSpec:
         return out
 
 
-MetricMode = Literal["modulo", "saturating", "exact"]
-
-
 @dataclasses.dataclass(frozen=True)
 class NumericSpec:
     """Numeric decoding policy.
@@ -160,9 +156,25 @@ class NumericSpec:
       XLA-friendly equivalent -- subtracting a constant from every state's
       metric never changes any compare-select decision, so decoded bits are
       identical as long as the accumulator cannot overflow between renorms.
-    * ``metric_dtype``: accumulator dtype on device.  int32 is the native VPU
-      lane width and never overflows within supported frame sizes; int16
-      halves HBM traffic for the K=24 state-streamed path.
+    * ``metric_dtype``: metric *storage* dtype for the HBM-streamed large-K
+      kernels (``ops.pallas.large_k`` / ``large_k2``).  ``"auto"`` (default)
+      picks int16 whenever the worst-case in-block range fits
+      (``large_k.metric_dtype_for``) and int32 otherwise; ``"int16"`` /
+      ``"int32"`` force a choice.  This is the TPU translation of the
+      reference's numeric-register families -- u8-modulo
+      (ref: ka9q_libfec_port/viterbi27_sse2.cpp:137-162), u8-saturating
+      (ref: spiral/spiral27.cpp:174-254) and s16-saturating with lazy renorm
+      (ref: ka9q_libfec_port/viterbi615_sse2.cpp:139-183) all exist to fit
+      metrics into narrow SIMD lanes; here narrow width cuts the bytes each
+      K>=10 trellis step moves through HBM (the binding resource), while
+      in-kernel COMPUTE stays int32.  Narrow *compute* does not lower on the
+      current Mosaic toolchain: int16/int8/bf16 vector compare-select, int8
+      adds, and narrow reductions all fail to compile (probed on hardware;
+      see tools/narrow_probe.py / narrow_probe2.py), so an in-register u8
+      kernel family has no TPU realization -- and none is needed: the
+      VMEM-resident small-K kernels are compute-bound, not bandwidth-bound,
+      and interval/entry renormalisation already provides the decision-
+      invariant range control the reference's saturating tricks exist for.
     """
 
     name: str
@@ -170,7 +182,7 @@ class NumericSpec:
     soft_low: int
     initial_margin: int
     renorm_interval: int = 0  # 0 = never (int32 headroom is enough)
-    metric_dtype: str = "int32"
+    metric_dtype: str = "auto"
 
     @property
     def symbol_span(self) -> int:

@@ -32,6 +32,7 @@ from ..configs import (
     BENCH_FRAME_BYTES,
     STANDARD_CODES,
     CodeSpec,
+    ka9q_offset_binary_spec,
     soft8_spec,
 )
 from ..ops.encoder import encode_frames
@@ -57,6 +58,11 @@ NATIVE_BATCH = {
     "viterbi27": 8, "viterbi47": 8, "viterbi29": 8, "viterbi49": 8,
     "viterbi615": 2, "viterbi224": 1,
 }
+
+# Configs the reference also runs under the ka9q family's offset-binary
+# {0, 255} symbol convention (ref: src/viterbi_configs.h:15-20; the R=4 codes
+# have no ka9q decoder, ref: src/main.cpp:374-398).
+KA9Q_CONFIGS = {"viterbi27", "viterbi29", "viterbi615", "viterbi224"}
 
 
 def backends_for(code: CodeSpec) -> list[str]:
@@ -86,31 +92,40 @@ def run_matrix(
     out_fp.write("[\n")
     first = True
     for code in codes:
-        numeric = soft8_spec(code.R)
         n_bytes = frame_bytes_override or BENCH_FRAME_BYTES[code.name]
         B = batch_override or DEFAULT_BATCH[code.name]
-        print(f"[{code.name}] K={code.K} R={code.R} bytes={n_bytes} batch={B}",
-              file=sys.stderr, flush=True)
-        data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
-        symbols = jax.block_until_ready(encode_frames(code, numeric, jnp.asarray(data)))
-        for backend in (backends or backends_for(code)):
-            print(f"- {backend}", file=sys.stderr, flush=True)
-            if backend == "native":
-                nb = min(B, NATIVE_BATCH[code.name])
-                b_data, b_syms, name = data[:nb], symbols[:nb], "cpu_native"
-            else:
-                b_data, b_syms, name = data, symbols, f"tpu_{backend}"
-            result = run_phase_bench(
-                code, numeric, b_data, b_syms,
-                name=name, backend=backend,
-                sampling_time=sampling_time, minimum_samples=minimum_samples,
-            )
-            ber = result.total_bit_errors / float(result.total_bits)
-            print(f"o {backend} ({ber:.3f})", file=sys.stderr, flush=True)
-            if not first:
-                out_fp.write(",\n")
-            first = False
-            json.dump(result.to_json_obj(), out_fp)
+        # Numeric families per config: soft8 (the "ours" soft-decision rows)
+        # plus the ka9q offset-binary convention where the reference has a
+        # ka9q column -- keeps the family comparison honest.
+        numerics = [(soft8_spec(code.R), "")]
+        if code.name in KA9Q_CONFIGS:
+            numerics.append((ka9q_offset_binary_spec(), "_ob"))
+        for numeric, tag in numerics:
+            print(f"[{code.name}] K={code.K} R={code.R} bytes={n_bytes} "
+                  f"batch={B} numeric={numeric.name}",
+                  file=sys.stderr, flush=True)
+            data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+            symbols = jax.block_until_ready(
+                encode_frames(code, numeric, jnp.asarray(data)))
+            for backend in (backends or backends_for(code)):
+                print(f"- {backend}", file=sys.stderr, flush=True)
+                if backend == "native":
+                    nb = min(B, NATIVE_BATCH[code.name])
+                    b_data, b_syms = data[:nb], symbols[:nb]
+                    name = f"cpu_native{tag}"
+                else:
+                    b_data, b_syms, name = data, symbols, f"tpu_{backend}{tag}"
+                result = run_phase_bench(
+                    code, numeric, b_data, b_syms,
+                    name=name, backend=backend,
+                    sampling_time=sampling_time, minimum_samples=minimum_samples,
+                )
+                ber = result.total_bit_errors / float(result.total_bits)
+                print(f"o {backend} ({ber:.3f})", file=sys.stderr, flush=True)
+                if not first:
+                    out_fp.write(",\n")
+                first = False
+                json.dump(result.to_json_obj(), out_fp)
     out_fp.write("\n]\n")
     out_fp.flush()
 

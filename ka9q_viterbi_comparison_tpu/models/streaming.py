@@ -81,7 +81,7 @@ class StreamingDecoder:
             symbols = symbols.reshape(self.batch, -1, self.code.R)
         symbols = symbols.astype(jnp.int32)
         self.metrics, words, _ = acs.acs_update(
-            self.code, self.numeric, self.metrics, symbols, self.code.K > 15
+            self.code, self.numeric, self.metrics, symbols, True
         )
         self.history = jnp.concatenate([self.history, words], axis=1)
         self.abs_step += symbols.shape[1]

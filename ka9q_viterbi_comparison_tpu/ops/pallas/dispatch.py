@@ -101,10 +101,9 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbo
         # trellis steps fused per launch.
         from . import large_k2
 
-        m, words = large_k2.acs_update_large2(
+        return large_k2.acs_update_large2(
             code, numeric, metrics, symbols.astype(jnp.int32), not on_tpu()
         )
-        return m, words, jnp.zeros((B,), dtype=jnp.int32)
     if not fits_vmem(code, Bp):
         return acs.acs_update(code, numeric, metrics, symbols, True)
     Tp = _pad_time(code, T, Bp)
@@ -113,7 +112,7 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbo
     impl = _small_k_impl(Bp)
     m_sb, dec = impl(
         code, numeric, m.T, sym.transpose(1, 2, 0),
-        jnp.int32(T), not on_tpu(),
+        T, not on_tpu(),
     )
     words = dec[:T].transpose(2, 0, 1)[:B]  # [B, T, W]
     offset = jnp.zeros((B,), dtype=jnp.int32)
@@ -132,7 +131,7 @@ def chainback(code: CodeSpec, words: jnp.ndarray, num_data_bits: int, endstate=0
         jnp.asarray(endstate, dtype=jnp.int32) & (code.num_states - 1), (1, Bp)
     )
     bits_words = kernels.chainback_tb(
-        code, w.transpose(1, 2, 0), end, jnp.int32(T), not on_tpu()
+        code, w.transpose(1, 2, 0), end, T, not on_tpu()
     )
     bits = unpack_bit_words(bits_words, T)[:B]
     return bits_to_bytes(bits[:, code.K - 1 : code.K - 1 + num_data_bits])
@@ -159,10 +158,7 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
             return acs.init_metrics(code, numeric, batch)
 
         def update_fn(metrics, symbols):
-            m, words = large_k2.acs_update_large2(
-                code, numeric, metrics, symbols, interp_lg
-            )
-            return m, words, jnp.zeros((symbols.shape[0],), dtype=jnp.int32)
+            return large_k2.acs_update_large2(code, numeric, metrics, symbols, interp_lg)
 
         def chainback_fn(words):
             return cb_fn(code, words, num_data_bits)
@@ -210,7 +206,7 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
         B, T, _ = symbols.shape
         return jax.block_until_ready(_prepare_impl(symbols)), T, B
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=2)
     def _update_impl(metrics_sb, sym_native, T):
         impl = _small_k_impl(metrics_sb.shape[1])
         m, dec = impl(code, numeric, metrics_sb, sym_native, T, interp)
@@ -219,13 +215,13 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
 
     def update_fn(metrics_sb, prepared):
         sym_native, T, B = prepared
-        m, dec = _update_impl(metrics_sb, sym_native, jnp.int32(T))
+        m, dec = _update_impl(metrics_sb, sym_native, T)
         return m, (dec, T, B), jnp.zeros((B,), dtype=jnp.int32)
 
     def _chainback_impl(dec, T, B, endstate):
         Bp = dec.shape[2]
         end = jnp.full((1, Bp), endstate & (code.num_states - 1), dtype=jnp.int32)
-        bits_words = kernels.chainback_tb(code, dec, end, jnp.int32(T), interp)
+        bits_words = kernels.chainback_tb(code, dec, end, T, interp)
         bits = unpack_bit_words(bits_words, T)[:B]
         return bits_to_bytes(bits[:, code.K - 1 : code.K - 1 + num_data_bits])
 

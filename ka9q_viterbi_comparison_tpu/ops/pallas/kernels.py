@@ -77,7 +77,16 @@ def pick_time_block(code: CodeSpec, batch: int, vmem_budget: int = 2 * 1024 * 10
     return (tb // 32) * 32
 
 
-def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int):
+def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int):
+    """``n_last``: trellis steps executed in the FINAL grid block (static).
+
+    Steps past the true frame length are simply never executed -- their
+    decision words are left unwritten (chainback starts its walk at the true
+    final step, so they are never read).  A traced per-step validity mask
+    costs an extra [S, B] select + broadcast compare every step -- measured
+    ~1.7x on the whole kernel -- for masking that static grid bounds give
+    for free.
+    """
     S = code.num_states
     S2 = S // 2
     W = max(1, S // 32)
@@ -85,15 +94,15 @@ def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int):
     low = numeric.soft_low
     hl = numeric.soft_high + numeric.soft_low
 
-    def kernel(t_real_ref, e_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
+    def kernel(e_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
         # sym_ref: [TB, R, B] int32; e_ref: [S2, 4*R] int32;
         # m_in/m_out: [S, B] int32; dec_ref: [TB, W, B] int32 (uint32 bits).
-        @pl.when(pl.program_id(0) == 0)
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        @pl.when(i == 0)
         def _():
             m_scr[:] = m_in_ref[:]
-
-        t_real = t_real_ref[0]
-        t_base = pl.program_id(0) * TB
 
         def step(t, _):
             sym = sym_ref[t]  # [R, B]
@@ -128,9 +137,7 @@ def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int):
             B = m.shape[1]
             new = jnp.stack(cands, axis=1).reshape(S, B)
             dec = jnp.stack(decs, axis=1).reshape(S, B)
-
-            valid = (t_base + t) < t_real
-            m_scr[:] = jnp.where(valid, new, m)
+            m_scr[:] = new
 
             # Pack 32 state-decisions per uint32 word (movemask analogue).
             if S >= 32:
@@ -141,22 +148,25 @@ def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int):
             dec_ref[t] = w.sum(axis=1)
             return 0
 
-        jax.lax.fori_loop(0, TB, step, 0)
-
-        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        @pl.when(i < nb - 1)
         def _():
+            jax.lax.fori_loop(0, TB, step, 0, unroll=False)
+
+        @pl.when(i == nb - 1)
+        def _():
+            jax.lax.fori_loop(0, n_last, step, 0, unroll=False)
             m_out_ref[:] = m_scr[:]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def acs_update_tb(
     code: CodeSpec,
     numeric: NumericSpec,
     metrics_sb: jnp.ndarray,
     symbols_trb: jnp.ndarray,
-    t_real: jnp.ndarray,
+    t_real: int,
     interpret: bool = False,
 ):
     """Fused ACS over a whole frame in state-major layout.
@@ -164,8 +174,9 @@ def acs_update_tb(
     Args:
       metrics_sb: ``[S, B]`` int32.
       symbols_trb: ``[Tp, R, B]`` int32, Tp a multiple of the time block.
-      t_real: scalar int32 -- true number of trellis steps (<= Tp); steps
-        beyond it leave the metrics untouched.
+      t_real: static int -- true number of trellis steps (<= Tp); steps
+        beyond it are never executed and their decision words are undefined
+        (chainback starts at step ``t_real``, so they are never read).
 
     Returns ``(metrics [S, B] int32, dec_words [Tp, W, B] uint32)``.
     """
@@ -175,28 +186,29 @@ def acs_update_tb(
     TB = pick_time_block(code, B)
     if Tp % TB != 0:
         raise ValueError(f"padded T={Tp} not a multiple of time block {TB}")
+    t_real = int(t_real)
+    if not (0 < t_real <= Tp):
+        raise ValueError(f"t_real={t_real} outside (0, {Tp}]")
+    nb = -(-t_real // TB)  # blocks that contain real steps
+    n_last = t_real - (nb - 1) * TB
 
     # Built on device (no embedded literal): [S2, 4R].
     e_in = transition_tables_jnp(code).transpose(2, 0, 1).reshape(S // 2, 4 * R)
 
-    grid = (Tp // TB,)
-    kernel = _acs_kernel(code, numeric, TB)
+    kernel = _acs_kernel(code, numeric, TB, n_last)
     m_out, dec = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((S // 2, 4 * R), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TB, R, B), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((S, B), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((S, B), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TB, W, B), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
-        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((S // 2, 4 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, R, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, W, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
         out_shape=[
             jax.ShapeDtypeStruct((S, B), jnp.int32),
             jax.ShapeDtypeStruct((Tp, W, B), jnp.int32),
@@ -211,16 +223,16 @@ def acs_update_tb(
             ),
         ),
         interpret=interpret,
-    )(jnp.asarray([t_real], dtype=jnp.int32), e_in, symbols_trb, metrics_sb)
+    )(e_in, symbols_trb, metrics_sb)
     return m_out, jax.lax.bitcast_convert_type(dec, jnp.uint32)
 
 
-def _chainback_kernel(code: CodeSpec, TB: int):
+def _chainback_kernel(code: CodeSpec, TB: int, n_last: int):
     S = code.num_states
     W = max(1, S // 32)
     K = code.K
 
-    def kernel(t_real_ref, dec_ref, end_ref, bits_ref, state_scr):
+    def kernel(dec_ref, end_ref, bits_ref, state_scr):
         # dec_ref: [TB, W, B] int32 words (time grid reversed);
         # end_ref: [1, B] int32; bits_ref: [Tp//32, B] int32 packed output --
         # the FULL (small) bits array stays VMEM-resident across the grid and
@@ -233,48 +245,60 @@ def _chainback_kernel(code: CodeSpec, TB: int):
         def _():
             state_scr[:] = end_ref[:]
 
-        t_real = t_real_ref[0]
-        # This grid step covers global steps [t_base, t_base + TB), walked in
-        # reverse (the grid's index_map already reversed the block order).
+        # This grid step covers global steps [t_base, t_base + steps), walked
+        # in reverse (the grid's index_map already reversed the block order).
+        # Block i == 0 is the frame tail: only its first ``n_last`` steps are
+        # real (static -- no per-step validity mask needed; steps past the
+        # frame end are simply never walked).
         t_base = (nb - 1 - i) * TB
         B = end_ref.shape[1]
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
 
-        def step(j, acc):
-            t = TB - 1 - j  # walk time in reverse
-            state = state_scr[:]  # [1, B]
-            words = dec_ref[t]    # [W, B]
-            # One-hot word select over the W sublanes (the reference's
-            # d[s >> 5] indexing, viterbi615_sse2.cpp:86).
-            sel = (w_iota == (state >> 5)).astype(jnp.int32)
-            word = jnp.sum(sel * words, axis=0, keepdims=True)  # [1, B]
-            k = jax.lax.shift_right_logical(word, state & 31) & 1
-            new_state = jax.lax.shift_right_logical(state, 1) | (k << (K - 2))
-            valid = (t_base + t) < t_real
-            state_scr[:] = jnp.where(valid, new_state, state)
-            k = jnp.where(valid, k, 0)
-            # Accumulate decoded bits, 32 steps per packed word (bit t%32 =
-            # step t); in reverse order a word's last visit is t % 32 == 0.
-            acc = jnp.where((t & 31) == 31, jnp.zeros_like(acc), acc) | (k << (t & 31))
+        def make_step(steps):
+            def step(j, acc):
+                t = steps - 1 - j  # walk time in reverse
+                state = state_scr[:]  # [1, B]
+                words = dec_ref[t]    # [W, B]
+                # One-hot word select over the W sublanes (the reference's
+                # d[s >> 5] indexing, viterbi615_sse2.cpp:86), as a fused
+                # masked-select + sum (one pass fewer than cmp/cast/mult).
+                word = jnp.where(w_iota == (state >> 5), words, 0).sum(
+                    axis=0, keepdims=True)  # [1, B]
+                k = jax.lax.shift_right_logical(word, state & 31) & 1
+                new_state = jax.lax.shift_right_logical(state, 1) | (k << (K - 2))
+                state_scr[:] = new_state
+                # Accumulate decoded bits, 32 steps per packed word (bit t%32
+                # = step t); in reverse order a word's last visit is t%32 == 0.
+                acc = jnp.where((t & 31) == 31, jnp.zeros_like(acc), acc) | (
+                    k << (t & 31))
 
-            @pl.when((t & 31) == 0)
-            def _():
-                bits_ref[pl.ds(t_base // 32 + t // 32, 1)] = acc
+                @pl.when((t & 31) == 0)
+                def _():
+                    bits_ref[pl.ds(t_base // 32 + t // 32, 1)] = acc
 
-            return acc
+                return acc
+
+            return step
 
         acc0 = jnp.zeros((1, B), dtype=jnp.int32)
-        jax.lax.fori_loop(0, TB, step, acc0)
+
+        @pl.when(i == 0)
+        def _():
+            jax.lax.fori_loop(0, n_last, make_step(n_last), acc0, unroll=False)
+
+        @pl.when(i > 0)
+        def _():
+            jax.lax.fori_loop(0, TB, make_step(TB), acc0, unroll=False)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def chainback_tb(
     code: CodeSpec,
     dec_words: jnp.ndarray,
     endstate: jnp.ndarray,
-    t_real: jnp.ndarray,
+    t_real: int,
     interpret: bool = False,
 ):
     """Traceback over state-major packed decisions.
@@ -282,7 +306,7 @@ def chainback_tb(
     Args:
       dec_words: ``[Tp, W, B]`` uint32/int32 from ``acs_update_tb``.
       endstate: ``[1, B]`` int32 survivor state at step ``t_real``.
-      t_real: scalar int32; steps >= t_real are skipped (state holds).
+      t_real: static int; the walk starts at step ``t_real - 1``.
 
     Returns packed trellis bits ``[Tp // 32, B]`` uint32 -- bit ``t % 32`` of
     word ``t // 32`` is the walk output at step t (data bit ``t - K + 1``).
@@ -291,25 +315,26 @@ def chainback_tb(
     TB = pick_time_block(code, B)
     if Tp % TB != 0:
         raise ValueError(f"padded T={Tp} not a multiple of time block {TB}")
-    nb = Tp // TB
+    t_real = int(t_real)
+    if not (0 < t_real <= Tp):
+        raise ValueError(f"t_real={t_real} outside (0, {Tp}]")
+    nb = -(-t_real // TB)
+    n_last = t_real - (nb - 1) * TB
 
-    kernel = _chainback_kernel(code, TB)
+    kernel = _chainback_kernel(code, TB, n_last)
     bits = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((TB, W, B), lambda i, *_: (nb - 1 - i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((Tp // 32, B), lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
-        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((TB, W, B), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Tp // 32, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
         out_shape=[jax.ShapeDtypeStruct((Tp // 32, B), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -321,7 +346,6 @@ def chainback_tb(
         ),
         interpret=interpret,
     )(
-        jnp.asarray([t_real], dtype=jnp.int32),
         jax.lax.bitcast_convert_type(dec_words, jnp.int32),
         endstate.astype(jnp.int32),
     )

@@ -37,7 +37,11 @@ from .kernels import _pack_weights, _vmem_limit, pick_time_block
 __all__ = ["acs_update_tb2"]
 
 
-def _acs_kernel2(code: CodeSpec, numeric: NumericSpec, TB: int):
+def _acs_kernel2(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int):
+    """``n_last``: trellis steps executed in the FINAL grid block (static).
+    An odd boundary runs one statically-emitted A-only step instead of the
+    old traced per-pair validity masks (which cost an extra [S, B] select and
+    a predicated re-materialisation every pair)."""
     S = code.num_states
     S2 = S // 2
     S4 = S // 4
@@ -54,26 +58,23 @@ def _acs_kernel2(code: CodeSpec, numeric: NumericSpec, TB: int):
             w = jnp.concatenate([dec, padz], axis=0).reshape(1, 32, B) * _pack_weights(B)
         return w.sum(axis=1)
 
-    def kernel(t_real_ref, e_ref, e2_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
+    def kernel(e_ref, e2_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
         # e_ref: [S2, 4R] natural-order expected bits (butterfly A);
         # e2_ref: [S4, 8R] expected bits at predecessor rows 2*s2 + b1,
         #         column ((b1*4 + x) * R + r) (butterfly B);
         # sym_ref: [TB, R, B]; dec_ref: [TB, W, B].
-        @pl.when(pl.program_id(0) == 0)
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        @pl.when(i == 0)
         def _():
             m_scr[:] = m_in_ref[:]
 
-        t_real = t_real_ref[0]
-        t_base = pl.program_id(0) * TB
-
-        def pair(j, _):
-            tA = 2 * j
-            tB = tA + 1
+        def butterflyA(tA):
+            """Step A in natural order; writes decisions, returns raw
+            candidates ``cand[b1]`` (intermediate butterfly coordinates)."""
             symA = sym_ref[tA]  # [R, B]
-            symB = sym_ref[tB]
             B = symA.shape[1]
-
-            # ---- butterfly A (natural order) ----
             baseA = jnp.zeros((1, B), dtype=jnp.int32)
             for r in range(R):
                 baseA = baseA + (symA[r : r + 1] - low)
@@ -99,8 +100,13 @@ def _acs_kernel2(code: CodeSpec, numeric: NumericSpec, TB: int):
 
             decA = jnp.stack([d1[0], d1[1]], axis=1).reshape(S, B)
             dec_ref[tA] = pack(decA, B)
+            return cand
 
-            # ---- butterfly B (raw intermediate coordinates) ----
+        def butterflyB(tB, cand):
+            """Step B from raw intermediate coordinates; writes decisions and
+            the interleaved-by-4 new metrics."""
+            symB = sym_ref[tB]
+            B = symB.shape[1]
             baseB = jnp.zeros((1, B), dtype=jnp.int32)
             coefB = []
             for r in range(R):
@@ -130,34 +136,38 @@ def _acs_kernel2(code: CodeSpec, numeric: NumericSpec, TB: int):
             new = jnp.stack([cand2[k] for k in range(4)], axis=1).reshape(S, B)
             decB = jnp.stack([d2[k] for k in range(4)], axis=1).reshape(S, B)
             dec_ref[tB] = pack(decB, B)
+            m_scr[:] = new
 
-            validA = (t_base + tA) < t_real
-            validB = (t_base + tB) < t_real
-            m_scr[:] = jnp.where(validB, new, m)
-
-            @pl.when(jnp.logical_and(validA, jnp.logical_not(validB)))
-            def _():
-                # Odd boundary: only step A applies.
-                m_scr[:] = jnp.stack([cand[0], cand[1]], axis=1).reshape(S, B)
-
+        def pair(j, _):
+            tA = 2 * j
+            butterflyB(tA + 1, butterflyA(tA))
             return 0
 
-        jax.lax.fori_loop(0, TB // 2, pair, 0)
-
-        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        @pl.when(i < nb - 1)
         def _():
+            jax.lax.fori_loop(0, TB // 2, pair, 0, unroll=False)
+
+        @pl.when(i == nb - 1)
+        def _():
+            jax.lax.fori_loop(0, n_last // 2, pair, 0, unroll=False)
+            if n_last % 2:
+                # Odd boundary: one A-only step; its candidates interleave
+                # straight into natural order.
+                cand = butterflyA(n_last - 1)
+                B = m_scr.shape[1]
+                m_scr[:] = jnp.stack([cand[0], cand[1]], axis=1).reshape(S, B)
             m_out_ref[:] = m_scr[:]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def acs_update_tb2(
     code: CodeSpec,
     numeric: NumericSpec,
     metrics_sb: jnp.ndarray,
     symbols_trb: jnp.ndarray,
-    t_real: jnp.ndarray,
+    t_real: int,
     interpret: bool = False,
 ):
     """Drop-in replacement for ``kernels.acs_update_tb`` (same contract)."""
@@ -167,6 +177,11 @@ def acs_update_tb2(
     TB = pick_time_block(code, B)
     if Tp % TB != 0:
         raise ValueError(f"padded T={Tp} not a multiple of time block {TB}")
+    t_real = int(t_real)
+    if not (0 < t_real <= Tp):
+        raise ValueError(f"t_real={t_real} outside (0, {Tp}]")
+    nb = -(-t_real // TB)
+    n_last = t_real - (nb - 1) * TB
 
     e_nat = transition_tables_jnp(code)  # [4, R, S2]
     e_in = e_nat.transpose(2, 0, 1).reshape(S // 2, 4 * R)
@@ -174,25 +189,21 @@ def acs_update_tb2(
     e2 = jnp.stack([e_nat[:, :, b1::2] for b1 in (0, 1)], axis=0)  # [2,4,R,S4]
     e2_in = e2.transpose(3, 0, 1, 2).reshape(S // 4, 8 * R)
 
-    grid = (Tp // TB,)
-    kernel = _acs_kernel2(code, numeric, TB)
+    kernel = _acs_kernel2(code, numeric, TB, n_last)
     m_out, dec = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((S // 2, 4 * R), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((S // 4, 8 * R), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TB, R, B), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((S, B), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((S, B), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TB, W, B), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
-        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((S // 2, 4 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S // 4, 8 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, R, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, W, B), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
         out_shape=[
             jax.ShapeDtypeStruct((S, B), jnp.int32),
             jax.ShapeDtypeStruct((Tp, W, B), jnp.int32),
@@ -207,5 +218,5 @@ def acs_update_tb2(
             ),
         ),
         interpret=interpret,
-    )(jnp.asarray([t_real], dtype=jnp.int32), e_in, e2_in, symbols_trb, metrics_sb)
+    )(e_in, e2_in, symbols_trb, metrics_sb)
     return m_out, jax.lax.bitcast_convert_type(dec, jnp.uint32)

@@ -60,12 +60,34 @@ def _parity_fold(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def metric_dtype_for(code: CodeSpec, numeric: NumericSpec, T: int):
-    """int16 when the worst-case accumulated path error fits with headroom
-    (halves every metric byte moved -- the dominant cost); else int32.
-    The reference solves the same range problem with lazy renormalisation
-    (ref: viterbi224_sse2.cpp:226-250); short ICE frames don't need it."""
-    worst = numeric.initial_margin + (T + 8) * numeric.max_branch_error(code.R)
+    """int16 when the worst-case metric reachable within one update block fits
+    with headroom (halves every metric byte moved -- the dominant cost); else
+    int32.  The reference solves the same range problem with lazy
+    renormalisation (ref: viterbi224_sse2.cpp:226-250).
+
+    Blockwise-resume safe: callers shift incoming metrics to zero at block
+    entry (``_shift_to_zero``), so the bound only needs the incoming *spread*,
+    not the absolute accumulated value.  The spread of a Viterbi metric vector
+    never exceeds ``initial_margin + (K-1) * max_branch_error``: every state is
+    reachable from the current best state's survivor path within K-1
+    transitions, each adding at most one worst-case branch penalty."""
+    mbe = numeric.max_branch_error(code.R)
+    spread = numeric.initial_margin + (code.K - 1) * mbe
+    worst = spread + (T + 8) * mbe
     return jnp.int16 if worst < 30000 else jnp.int32
+
+
+def _shift_to_zero(metrics: jnp.ndarray):
+    """Per-frame shift-to-zero renormalisation at block entry.
+
+    Subtracting a per-frame constant from every state's metric changes no
+    compare-select decision (the invariant all renorm in this framework relies
+    on, ref semantics: viterbi615_sse2.cpp:157-183); returning the shift keeps
+    the caller's accumulated ``path_metric`` exact.  Required so
+    ``metric_dtype_for``'s int16 bound holds for resumed blocks whose incoming
+    metrics already carry many steps of accumulated error."""
+    shift = metrics.min(axis=1)
+    return metrics - shift[:, None], shift
 
 
 def _step_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, mdt):
@@ -155,10 +177,13 @@ def acs_update_large(
       metrics: ``[B, S]`` int32.
       symbols: ``[B, T, R]`` int32.
 
-    Returns ``(metrics [B, S] int32, words [B, T, W] uint32)`` with the same
-    state-indexed decision packing as the other paths.
+    Returns ``(metrics [B, S] int32, words [B, T, W] uint32, offset [B]
+    int32)`` with the same state-indexed decision packing as the other paths;
+    ``offset`` is the amount removed from every metric by the block-entry
+    renormalisation (add it back for the true accumulated path error).
     """
     B, S = metrics.shape
+    metrics, entry_shift = _shift_to_zero(metrics)
     _, T, R = symbols.shape
     blk = pick_state_block(code)
     NB = S // blk
@@ -167,7 +192,10 @@ def acs_update_large(
     Lb = blk // (2 * PACK)  # predecessor columns per grid block
     assert NB * Lb == C // 2
 
-    mdt = metric_dtype_for(code, numeric, T)
+    if numeric.metric_dtype != "auto":
+        mdt = jnp.dtype(numeric.metric_dtype).type
+    else:
+        mdt = metric_dtype_for(code, numeric, T)
     kernel = _step_kernel(code, numeric, Lb, mdt)
     m3_shape = jax.ShapeDtypeStruct((B, PACK, C // 2), mdt)
     w_shape = jax.ShapeDtypeStruct((B, C // 2), jnp.int32)
@@ -207,4 +235,5 @@ def acs_update_large(
     m_final = m3_final.astype(jnp.int32).transpose(0, 2, 1).reshape(B, S)
     # words: [T, B, C] int32; word c packs states 32c..32c+31 (bit g) --
     # exactly the standard state-indexed packing of the other paths.
-    return m_final, jax.lax.bitcast_convert_type(words.transpose(1, 0, 2), jnp.uint32)
+    words_u32 = jax.lax.bitcast_convert_type(words.transpose(1, 0, 2), jnp.uint32)
+    return m_final, words_u32, entry_shift

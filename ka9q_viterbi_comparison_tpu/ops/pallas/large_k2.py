@@ -194,17 +194,21 @@ def acs_update_large2(
 ):
     """Two-steps-per-launch ACS; same contract as ``acs_update_large``.
 
-    Returns ``(metrics [B, S] int32, words [B, T, W] uint32)``.
+    Returns ``(metrics [B, S] int32, words [B, T, W] uint32, offset [B]
+    int32)``; ``offset`` is the block-entry renormalisation shift.
     """
     B, S = metrics.shape
     _, T, R = symbols.shape
+    metrics, entry_shift = large_k._shift_to_zero(metrics)
     blk = large_k.pick_state_block(code)
     NB = S // blk
     C = S // PACK
     Lb4 = blk // (4 * PACK)
     assert NB * Lb4 * 4 == C
 
-    if metric_dtype is not None:
+    if metric_dtype is None:
+        metric_dtype = numeric.metric_dtype
+    if metric_dtype != "auto":
         mdt = jnp.dtype(metric_dtype).type
     else:
         mdt = large_k.metric_dtype_for(code, numeric, T)
@@ -253,9 +257,11 @@ def acs_update_large2(
     all_words = jax.lax.bitcast_convert_type(words.transpose(1, 0, 2), jnp.uint32)
 
     if T % 2:
-        # Odd tail: one single-step launch on the last symbol.
-        m_final, w_tail = large_k.acs_update_large.__wrapped__(
+        # Odd tail: one single-step launch on the last symbol (its own entry
+        # shift folds into the returned offset).
+        m_final, w_tail, tail_shift = large_k.acs_update_large.__wrapped__(
             code, numeric, m_final, symbols[:, T - 1 :], interpret
         )
         all_words = jnp.concatenate([all_words, w_tail], axis=1)
-    return m_final, all_words
+        entry_shift = entry_shift + tail_shift
+    return m_final, all_words, entry_shift

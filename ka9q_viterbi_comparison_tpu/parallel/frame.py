@@ -40,6 +40,10 @@ def frame_sharded_decode(
     input is enough: XLA partitions the whole pipeline with no collectives.
     """
     sharding = NamedSharding(mesh, P(frame_axis))
-    symbols = jax.device_put(symbols, sharding)
-    fused = code.K > 15
-    return decode_symbols(code, numeric, symbols, num_data_bits, fused)
+    if getattr(symbols, "sharding", None) != sharding:
+        # Already-assembled global arrays (multi-process: parallel.multihost)
+        # must not be re-placed -- device_put cannot address remote shards.
+        symbols = jax.device_put(symbols, sharding)
+    # In-scan penalties always: the whole-frame penalty tensor is O(T*B*2S)
+    # (tens of GB for K=15 at bench batch sizes).
+    return decode_symbols(code, numeric, symbols, num_data_bits, True)

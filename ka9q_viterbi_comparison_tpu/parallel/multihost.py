@@ -1,0 +1,104 @@
+"""Multi-host (multi-process) frame data-parallelism over DCN.
+
+The reference is strictly single-process (SURVEY §2.3); frames are the axis
+that spans hosts because decoding them needs zero inter-frame communication
+(``parallel.frame``).  This module supplies the multi-process plumbing that
+turns per-host frame batches into one global sharded decode:
+
+* ``initialize(...)`` -- thin wrapper over :func:`jax.distributed.initialize`
+  that also selects the CPU collectives backend when running the
+  multi-process CPU emulation (the standard JAX way to exercise multi-host
+  code paths without a pod: N OS processes x M virtual devices each, DCN
+  replaced by gloo over localhost; see tests/test_multihost.py).
+* ``global_frame_batch(local, mesh)`` -- assemble each process's local frame
+  batch into one global ``jax.Array`` sharded over the ``frame`` mesh axis
+  (process-local data placement, no cross-host transfer).
+* ``decode_local_frames(...)`` -- end-to-end: global assembly, sharded
+  decode, return this process's decoded shard as host numpy.
+
+On a real multi-host TPU deployment the same calls run unchanged: ``mesh``
+spans all hosts' devices, the frame axis rides DCN, and each host feeds and
+reads back only its addressable shards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import CodeSpec, NumericSpec
+from .frame import frame_sharded_decode
+
+__all__ = [
+    "initialize",
+    "global_frame_mesh",
+    "global_frame_batch",
+    "decode_local_frames",
+    "local_shard",
+]
+
+
+def initialize(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    cpu_collectives: str | None = "gloo",
+) -> None:
+    """Join the distributed runtime (idempotent per process).
+
+    ``cpu_collectives`` selects the CPU cross-process collectives backend
+    ("gloo" is the portable default); pass ``None`` on real TPU pods (ICI/DCN
+    collectives need no host backend).  Must run before anything initialises
+    the XLA backend (so no backend queries happen here).
+    """
+    if cpu_collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation", cpu_collectives)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_frame_mesh(axis: str = "frame") -> Mesh:
+    """1-D mesh over ALL global devices (every process's), frame DP axis."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def global_frame_batch(local: np.ndarray, mesh: Mesh, axis: str = "frame"):
+    """Per-process ``[B_local, ...]`` host data -> global ``jax.Array``
+    ``[B_global, ...]`` sharded over ``mesh[axis]``.
+
+    Placement is process-local: each process contributes only its own rows
+    (the global batch is the concatenation in process order), so assembly
+    moves no data across hosts.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    global_shape = (local.shape[0] * jax.process_count(), *local.shape[1:])
+    return jax.make_array_from_process_local_data(sharding, local, global_shape)
+
+
+def local_shard(arr) -> np.ndarray:
+    """This process's rows of a frame-sharded global array, in order."""
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def decode_local_frames(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    local_symbols: np.ndarray,
+    num_data_bits: int,
+    mesh: Mesh | None = None,
+    axis: str = "frame",
+) -> np.ndarray:
+    """Decode this process's ``[B_local, T*R]`` frames as part of the global
+    frame-sharded batch; returns the local decoded bytes ``[B_local, n]``."""
+    mesh = mesh or global_frame_mesh(axis)
+    syms = global_frame_batch(np.asarray(local_symbols), mesh, axis)
+    out = frame_sharded_decode(code, numeric, syms, num_data_bits, mesh, axis)
+    return local_shard(out)

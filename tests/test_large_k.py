@@ -25,9 +25,11 @@ def test_large_k_matches_jnp(code, n_bytes, rng):
 
     m0 = acs.init_metrics(code, numeric, B)
     m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
-    m_lg, words_lg = large_k.acs_update_large(
+    m_lg, words_lg, off = large_k.acs_update_large(
         code, numeric, acs.init_metrics(code, numeric, B), syms, True
     )
+    # Fresh metrics have min 0, so the block-entry shift is zero.
+    np.testing.assert_array_equal(np.asarray(off), 0)
     np.testing.assert_array_equal(np.asarray(m_lg), np.asarray(m_ref))
     np.testing.assert_array_equal(np.asarray(words_lg), np.asarray(words_ref))
 
@@ -48,9 +50,40 @@ def test_large_k2_matches_jnp(code, n_bytes, rng):
 
     m0 = acs.init_metrics(code, numeric, B)
     m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
-    m2, words2 = large_k2.acs_update_large2(code, numeric, m0, syms, True)
+    m2, words2, _ = large_k2.acs_update_large2(code, numeric, m0, syms, True)
     np.testing.assert_array_equal(np.asarray(m2), np.asarray(m_ref))
     np.testing.assert_array_equal(np.asarray(words2), np.asarray(words_ref))
+
+
+def test_large_k_blockwise_resume_narrow_safe(rng):
+    """Resumed blocks whose incoming metrics carry accumulated error must not
+    wrap the int16 storage path: the block-entry shift-to-zero renormalisation
+    makes ``metric_dtype_for``'s bound hold regardless of history, and the
+    shift comes back as the offset (keeps ``path_metric`` exact)."""
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k2
+
+    code, numeric = VITERBI29, soft8_spec(2)
+    B = 2
+    data = rng.integers(0, 256, size=(B, 16), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+    T = syms.shape[1]
+    assert large_k.metric_dtype_for(code, numeric, T) == jnp.int16
+
+    # Incoming metrics as if ~30k steps of error had accumulated: well beyond
+    # int16, identical decisions (a uniform bump changes no compare).
+    bump = 30_000
+    m0 = acs.init_metrics(code, numeric, B) + bump
+    m_ref, words_ref, _ = acs.acs_update(
+        code, numeric, acs.init_metrics(code, numeric, B), syms, False
+    )
+    for fn in (large_k.acs_update_large, large_k2.acs_update_large2):
+        m, words, off = fn(code, numeric, m0, syms, True)
+        np.testing.assert_array_equal(np.asarray(words), np.asarray(words_ref))
+        np.testing.assert_array_equal(np.asarray(off), bump)
+        np.testing.assert_array_equal(
+            np.asarray(m) + np.asarray(off)[:, None],
+            np.asarray(m_ref) + bump,
+        )
 
 
 def test_large_k2_odd_tail(rng):
@@ -66,6 +99,6 @@ def test_large_k2_odd_tail(rng):
     assert syms.shape[1] % 2 == 1
     m0 = acs.init_metrics(code, numeric, 2)
     m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
-    m2, words2 = large_k2.acs_update_large2(code, numeric, m0, syms, True)
+    m2, words2, _ = large_k2.acs_update_large2(code, numeric, m0, syms, True)
     np.testing.assert_array_equal(np.asarray(m2), np.asarray(m_ref))
     np.testing.assert_array_equal(np.asarray(words2), np.asarray(words_ref))

@@ -57,6 +57,28 @@ def test_pallas_chainback_roundtrip(code, n_bytes, rng):
     assert count_bit_errors(np.asarray(out), data) == 0
 
 
+def test_batch_adaptive_routing(rng):
+    """The B-dependent kernel switch (dispatch._small_k_impl): the depth-2
+    fused kernel serves padded batches >= 1024, the single-step kernel below;
+    and the dispatch-level output at a routed >=1024 batch is bit-identical
+    to the jnp path (pins the switch against silent regression)."""
+    from ka9q_viterbi_comparison_tpu.ops.pallas import kernels, kernels2
+
+    assert dispatch._small_k_impl(512) is kernels.acs_update_tb
+    assert dispatch._small_k_impl(1024) is kernels2.acs_update_tb2
+    assert dispatch._small_k_impl(2048) is kernels2.acs_update_tb2
+
+    code, numeric = VITERBI27, soft8_spec(2)
+    B, n_bytes = 1024, 2  # on CPU the batch is not padded: Bp == B == 1024
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    m_pl, words_pl, _ = dispatch.acs_update(code, numeric, m0, syms)
+    np.testing.assert_array_equal(np.asarray(m_pl), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(words_pl), np.asarray(words_ref))
+
+
 def test_pallas_phase_fns_roundtrip(rng):
     code = VITERBI29
     numeric = soft16_spec(code.R)

@@ -33,3 +33,26 @@ def test_state_sharded_matches_sequential(code, n_bytes, n_dev, rng):
 
     seq = decode_symbols(code, numeric, syms, n_bytes * 8)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))
+
+
+@pytest.mark.slow
+def test_state_sharded_viterbi224(rng):
+    """The actual K=24 ICE trellis (2^23 states, the config the state axis
+    exists for, ref: viterbi224_sse2.cpp:14-16) decoded sharded over the
+    8-device mesh at 2-byte frames, bit-exact vs the sequential jnp path."""
+    from ka9q_viterbi_comparison_tpu import VITERBI224
+
+    code = VITERBI224
+    numeric = soft8_spec(code.R)
+    n_bytes = 2
+    data = rng.integers(0, 256, size=(1, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data))
+    T = code.transmit_bits(n_bytes)
+    syms3 = syms.reshape(1, T, code.R)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("state",))
+    out = state_sharded_decode(code, numeric, syms3, n_bytes * 8, mesh)
+    assert count_bit_errors(np.asarray(out), data) == 0
+
+    seq = decode_symbols(code, numeric, syms, n_bytes * 8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))

@@ -63,7 +63,7 @@ def main():
     m0 = acs.init_metrics(code, numeric, B)
 
     # correctness of large_k at K=15 on hardware
-    m, words = large_k.acs_update_large(code, numeric, m0, syms)
+    m, words, _ = large_k.acs_update_large(code, numeric, m0, syms)
     out = cb.chainback(code, words, NB_BYTES * 8)
     errs = count_bit_errors(np.asarray(out), data)
     LOG(f"large_k K15 decode bit_errors={errs}")
@@ -73,7 +73,7 @@ def main():
         def run(m, s):
             w = None
             for _ in range(n):
-                m, w = large_k.acs_update_large.__wrapped__(code, numeric, m, s, False)
+                m, w, _ = large_k.acs_update_large.__wrapped__(code, numeric, m, s, False)
             return m, w
         return lambda: run(m0, syms)
 
@@ -90,7 +90,7 @@ def main():
         def run(m, s):
             w = None
             for _ in range(n):
-                m, w = plk.acs_update_tb(code, numeric, m, s, jnp.int32(T))
+                m, w = plk.acs_update_tb(code, numeric, m, s, T)
             return m, w
         return lambda: run(m0sb, sym_native)
 

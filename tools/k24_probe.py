@@ -63,7 +63,7 @@ def main():
     m0 = acs.init_metrics(code, numeric, B)
 
     # Correctness on hardware first.
-    m, words = large_k.acs_update_large(code, numeric, m0, syms)
+    m, words, _ = large_k.acs_update_large(code, numeric, m0, syms)
     out = cb.chainback(code, words, NB_BYTES * 8)
     errs = count_bit_errors(np.asarray(out), data)
     LOG(f"large_k decode bit_errors={errs}")
@@ -74,7 +74,7 @@ def main():
         def run(m, s):
             w = None
             for _ in range(n):
-                m, w = large_k.acs_update_large.__wrapped__(code, numeric, m, s, False)
+                m, w, _ = large_k.acs_update_large.__wrapped__(code, numeric, m, s, False)
             return m, w
         return lambda: run(m0, syms)
 
