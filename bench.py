@@ -47,10 +47,11 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    # Measured sweet spot on v5e (marginal chained timing): throughput peaks
-    # at batch ~512 (2.57 Gsym/s; the kernel is VPU-bound there) and falls
-    # off both ways (256: 1.2G, 1024: 1.8G, 4096: 1.3G).
-    B = args.batch or (512 if on_tpu else 8)
+    # Measured sweet spot on v5e with the static-tail kernel (marginal
+    # chained timing, tools/tb_sweep.py): throughput peaks at batch 256
+    # (6.1 Gsym/s uncontended-best; 2.8-3.2 G under shared-chip contention)
+    # and falls off both ways (128: 0.9G, 512: 2.7G, 1024: 2.5G).
+    B = args.batch or (256 if on_tpu else 8)
     n_bytes = args.bytes if on_tpu else min(args.bytes, 64)
     backend = args.backend
     if backend == "auto":

@@ -43,10 +43,10 @@ __all__ = ["main", "run_matrix"]
 # Batch sizes per config: the TPU's throughput axis.  Sized so decision
 # storage stays comfortably in HBM (K=24's is ~1 MiB per frame per bit).
 DEFAULT_BATCH = {
-    "viterbi27": 512,   # measured throughput peak for the K=7 kernel
-    "viterbi47": 512,
-    "viterbi29": 512,
-    "viterbi49": 512,
+    "viterbi27": 256,   # measured throughput peak (tools/tb_sweep.py stages 2-4)
+    "viterbi47": 256,
+    "viterbi29": 128,   # K=9 family peaks at one lane-group (1.0 G vs 0.47 at 512)
+    "viterbi49": 128,
     "viterbi615": 128,  # the Pallas lane width; smaller batches pad up to it
     "viterbi224": 4,
 }

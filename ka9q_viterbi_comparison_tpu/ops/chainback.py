@@ -76,22 +76,44 @@ def chainback_bits(
     mask = jnp.int32(code.num_states - 1)
     end = jnp.broadcast_to(jnp.asarray(endstate, dtype=jnp.int32) & mask, (B,))
 
-    # Note on huge trellises (K=24): the walk reads ONE word per frame per
-    # step out of a 1 MiB row -- a serial pointer-chase that is latency-bound
-    # on any accelerator (a flat-index gather formulation measured 6x slower
-    # than the per-step slice under XLA).  In absolute terms the walk is
-    # still ~100x faster than the K=24 symbol update, so it never gates
-    # end-to-end decode; the CPU reference remains faster on this one phase.
-    def body(state, words_t):
-        idx = state >> 5
-        word = _select_word(words_t, idx)
-        k = (word >> (state & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
-        new_state = (state >> 1) | (k << (K - 2))
-        return new_state, k.astype(jnp.uint8)
+    if W * 4 > 64 * 1024 and B <= 64:
+        # Huge trellises (K=24): a batched gather over the [B, W] slice makes
+        # XLA stream the whole 1 MiB x B row per step; per-frame scalar
+        # ``dynamic_slice`` fetches only the touched 4-byte word instead
+        # (measured 1.9x: 0.64 vs 0.34 Mbit/s).  The remaining cost is the
+        # platform's dependent-fetch latency, ~1.2 us per 4-byte fetch,
+        # serialized by XLA's sequential schedule -- the only parallel-fetch
+        # primitive (a Pallas async copy from HBM) does not compile on this
+        # toolchain (tools/k24_cb_probe2.py), so ~(T x B x 1.2 us) is the
+        # documented floor for this phase.  Still ~100x faster than the K=24
+        # symbol update, so it never gates end-to-end decode (ref analogue:
+        # one random load per step, viterbi224_sse2.cpp:93-105).
+        def body_ds(state, t):
+            ks = []
+            for b in range(B):
+                idx = (state[b] >> 5).astype(jnp.int32)
+                word = jax.lax.dynamic_slice(
+                    decision_words, (b, t, idx), (1, 1, 1))[0, 0, 0]
+                ks.append(
+                    (word >> (state[b] & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
+                )
+            k = jnp.stack(ks)
+            return (state >> 1) | (k << (K - 2)), k.astype(jnp.uint8)
 
-    start_state, ks = jax.lax.scan(
-        body, end, decision_words.transpose(1, 0, 2), reverse=True
-    )
+        start_state, ks = jax.lax.scan(
+            body_ds, end, jnp.arange(T, dtype=jnp.int32), reverse=True
+        )
+    else:
+        def body(state, words_t):
+            idx = state >> 5
+            word = _select_word(words_t, idx)
+            k = (word >> (state & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
+            new_state = (state >> 1) | (k << (K - 2))
+            return new_state, k.astype(jnp.uint8)
+
+        start_state, ks = jax.lax.scan(
+            body, end, decision_words.transpose(1, 0, 2), reverse=True
+        )
 
     bits = ks.transpose(1, 0)[:, code.K - 1 : code.K - 1 + num_data_bits]
     return bits, start_state

@@ -69,11 +69,16 @@ def _pack_weights(B: int) -> jnp.ndarray:
 
 def pick_time_block(code: CodeSpec, batch: int, vmem_budget: int = 2 * 1024 * 1024) -> int:
     """Time-block size: bounded by the VMEM footprint of the streamed blocks
-    (symbols in, decision words out), rounded to a multiple of 32."""
+    (symbols in, decision words out), rounded to a multiple of 32.
+
+    Cap at 256: the hardware sweep (tools/tb_sweep.py) measured TB=256 as the
+    optimum for K=7 at both B=256 and B=512 (larger blocks are strictly
+    slower: 2.33 G at TB=512 vs 3.38 G at TB=256 under like-for-like
+    contention), and K=9 flat across 96-256."""
     S = code.num_states
     W = max(1, S // 32)
     per_step = (code.R + W) * batch * 4  # int32 symbols + uint32 words
-    tb = max(32, min(512, vmem_budget // max(per_step, 1)))
+    tb = max(32, min(256, vmem_budget // max(per_step, 1)))
     return (tb // 32) * 32
 
 

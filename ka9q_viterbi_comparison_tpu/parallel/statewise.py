@@ -92,6 +92,14 @@ def state_sharded_decode_bits(
 
     Requires ``num_states % (2 * n_dev) == 0`` (any even device count for
     K >= 3 works).
+
+    Scaling note: the traceback below issues one ``psum`` per trellis step
+    (serial data dependency -- the owner of the survivor state changes every
+    step), so it is O(T) collectives.  That is the right trade for the config
+    this sharding exists for (K=24 ICE: 8-byte frames, T < 100,
+    ref: src/main.cpp:414, and an update phase ~100x more expensive); for
+    long streams, decode time-blocks with ``parallel.timeblock`` and keep the
+    state axis for the update only.
     """
     n_dev = mesh.shape[state_axis]
     S = code.num_states

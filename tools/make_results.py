@@ -47,15 +47,21 @@ harness/bench.py).  Families:
 * `cpu_native` — the C++ host decoder (serial per frame), the in-repo CPU
   baseline.  It runs on this rig's VM cores; compare it against the
   reference's desktop-CPU numbers in BASELINE.md only directionally.
+* `*_ob`       — same backends under the ka9q offset-binary {0,255} symbol
+  convention (ref: src/viterbi_configs.h:15-20), for the configs the
+  reference also runs through its ka9q family (K7/9/15/24 at r=1/2,1/6).
 
 Reference hardware numbers to compare against are in `BASELINE.md`.
 
-Known structural exception: the K=24 chainback phase. Its traceback reads one
-word per frame per step out of a 1 MiB decision row — a serial pointer-chase
-that is latency-bound on an accelerator, and decision-memory capacity caps the
-batch that could amortise it. The reference's CPU wins that single phase; it
-is ~100x cheaper than the K=24 symbol update in absolute terms, so end-to-end
-K=24 decode remains faster here.
+Known structural exception: the K=24 chainback phase. Its traceback needs one
+4-byte word per frame per step at a data-dependent offset in a 1 MiB decision
+row. The best formulation on this platform (per-frame `dynamic_slice`)
+measures ~1.2 µs per dependent fetch, serialized by XLA's sequential
+schedule, giving ~0.64 Mbit/s at any batch — the measured platform floor
+(the only parallel-fetch primitive, a Pallas async copy from HBM, does not
+compile on this toolchain; `tools/k24_cb_probe2.py`). The reference's CPU
+wins this single phase (3.4 M); it is ~100x cheaper than the K=24 symbol
+update in absolute terms, so end-to-end K=24 decode remains faster here.
 
 """
     with open(os.path.join(REPO, args.out), "w") as f:

@@ -76,12 +76,35 @@ def sweep(code, B, Tp, tbs, n_chain=5):
 
 if __name__ == "__main__":
     LOG(f"backend: {jax.default_backend()}")
-    # In-process contention reference: the single-launch probe kernel.
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import narrow_probe2
 
-    narrow_probe2.acs_probe("i32_base")
-    sweep(VITERBI27, 512, 2048, [256, 512, 1024, 2048])
-    sweep(VITERBI29, 512, 1024, [96, 256, 512])
-    narrow_probe2.acs_probe("i32_base")
+    stage = sys.argv[1] if len(sys.argv) > 1 else "1"
+    if stage == "1":
+        # In-process contention reference: the single-launch probe kernel.
+        narrow_probe2.acs_probe("i32_base")
+        sweep(VITERBI27, 512, 2048, [256, 512, 1024, 2048])
+        sweep(VITERBI29, 512, 1024, [96, 256, 512])
+        narrow_probe2.acs_probe("i32_base")
+    elif stage == "2":
+        narrow_probe2.acs_probe("i32_base")
+        sweep(VITERBI29, 512, 2304, [96, 128, 192, 256])
+        sweep(VITERBI27, 512, 3840, [192, 256, 320])
+        # Batch sweep at the chosen block
+        for b in (256, 512, 768, 1024):
+            sweep(VITERBI27, b, 2048, [256])
+    elif stage == "4":
+        # K=9-family batch sweep at each batch's production time block.
+        from ka9q_viterbi_comparison_tpu import VITERBI49
+        for b, tb, tp in ((128, 256, 1024), (256, 192, 1152), (512, 96, 1152)):
+            sweep(VITERBI29, b, tp, [tb])
+            sweep(VITERBI49, b, tp, [tb])
+    elif stage == "3":
+        from ka9q_viterbi_comparison_tpu import VITERBI47, VITERBI49
+        for b in (128, 256, 384):
+            sweep(VITERBI27, b, 2048, [256])
+        for b in (128, 256, 512):
+            sweep(VITERBI47, b, 2048, [256])
+            sweep(VITERBI29, b, 1024, [96])
+            sweep(VITERBI49, b, 1024, [96])
     LOG("ALL DONE")
