@@ -139,7 +139,7 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
         def prepare_fn(symbols):
             return np.ascontiguousarray(np.asarray(symbols), dtype=np.int32)
 
-        return init_fn, update_fn, chainback_fn, prepare_fn, None
+        return init_fn, update_fn, chainback_fn, prepare_fn, None, None
 
     # Always fuse penalty computation into the scan body: materialising
     # whole-frame penalties is O(T*B*2S) memory (17 GB for K=15 at B=64).
@@ -177,7 +177,22 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_
 
         return run
 
-    return init_fn, update_fn, chainback_fn, prepare_fn, make_chainback_chain
+    def make_update_chain(k):
+        @jax.jit
+        def run(metrics, symbols):
+            m, w, _ = acs.acs_update(code, numeric, metrics, symbols, fused)
+
+            def body(_, carry):
+                m, w = carry
+                m2, w2, _ = acs.acs_update(code, numeric, m, symbols, fused)
+                return (m2, w2)
+
+            return jax.lax.fori_loop(0, k - 1, body, (m, w))
+
+        return run
+
+    return (init_fn, update_fn, chainback_fn, prepare_fn,
+            make_chainback_chain, make_update_chain)
 
 
 def run_phase_bench(
@@ -197,9 +212,8 @@ def run_phase_bench(
     B, n_bytes = data.shape
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     num_data_bits = n_bytes * 8
-    init_fn, update_fn, chainback_fn, prepare_fn, make_cb_chain = _phases_for_backend(
-        code, numeric, backend, num_data_bits
-    )
+    (init_fn, update_fn, chainback_fn, prepare_fn, make_cb_chain,
+     make_up_chain) = _phases_for_backend(code, numeric, backend, num_data_bits)
     symbols = prepare_fn(symbols)  # backend-native staging, untimed
     # Warm-up / compile all three phases once.
     metrics = sync(init_fn(B))
@@ -224,6 +238,17 @@ def run_phase_bench(
     if make_cb_chain is not None:
         cb_chain_1 = make_cb_chain(n_cb_lo)
         cb_chain_n = make_cb_chain(n_cb_hi)
+    # Update chains likewise run in-jit (2 vs 14 links); the update phase at
+    # small batches is ~1 ms, far below out-of-jit dispatch jitter.
+    n_up_lo, n_up_hi = (2, 14) if make_up_chain is not None else (1, n_chain)
+    if make_up_chain is not None:
+        up_chain_lo = make_up_chain(n_up_lo)
+        up_chain_hi = make_up_chain(n_up_hi)
+        sync(up_chain_lo(metrics, symbols))  # compile outside the samples
+        sync(up_chain_hi(metrics, symbols))
+    if make_cb_chain is not None:
+        sync(cb_chain_1(words))
+        sync(cb_chain_n(words))
 
     def run_init(k):
         t0 = time.perf_counter_ns()
@@ -235,9 +260,12 @@ def run_phase_bench(
 
     def run_update(k, m0):
         t0 = time.perf_counter_ns()
-        m, w = m0, None
-        for _ in range(k):
-            m, w, _ = update_fn(m, symbols)
+        if make_up_chain is not None:
+            m, w = (up_chain_lo if k == n_up_lo else up_chain_hi)(m0, symbols)
+        else:
+            m, w = m0, None
+            for _ in range(k):
+                m, w, _ = update_fn(m, symbols)
         sync(w)
         return time.perf_counter_ns() - t0, w
 
@@ -274,9 +302,9 @@ def run_phase_bench(
                 ti1, metrics = run_init(1)
                 ti1 = min(ti1, run_init(1)[0])
                 tin, _ = run_init(n_chain)
-                tu1, _ = run_update(1, metrics)
-                tu1 = min(tu1, run_update(1, metrics)[0])
-                tun, words = run_update(n_chain, metrics)
+                tu1, _ = run_update(n_up_lo, metrics)
+                tu1 = min(tu1, run_update(n_up_lo, metrics)[0])
+                tun, words = run_update(n_up_hi, metrics)
                 tc1, _ = run_chainback(n_cb_lo, words)
                 tc1 = min(tc1, run_chainback(n_cb_lo, words)[0])
                 tcn, out = run_chainback(n_cb_hi, words)
@@ -287,7 +315,7 @@ def run_phase_bench(
                 floor = 1_000
                 cur = (
                     max((tin - ti1) // d, floor),
-                    max((tun - tu1) // d, floor),
+                    max((tun - tu1) // (n_up_hi - n_up_lo), floor),
                     max((tcn - tc1) // (n_cb_hi - n_cb_lo), floor),
                 )
                 best = cur if best is None else tuple(map(min, best, cur))
@@ -391,7 +419,7 @@ def time_update_phase(
     B = symbols.shape[0]
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     T = symbols.shape[1]
-    init_fn, update_fn, _, prepare_fn, _ = _phases_for_backend(code, numeric, backend, 8)
+    init_fn, update_fn, _, prepare_fn, _, _ = _phases_for_backend(code, numeric, backend, 8)
     symbols = prepare_fn(symbols)
     metrics = sync(init_fn(B))
     jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))  # compile

@@ -141,10 +141,14 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
     """Native-layout lifecycle phases for benchmarking: no layout conversion
     between update and chainback.
 
-    Returns ``(init_fn, update_fn, chainback_fn, prepare_fn)``;
-    ``prepare_fn(symbols [B, T, R])`` stages symbols in the backend's native
-    layout *outside* the timed phases (the reference likewise encodes its
-    symbol buffer outside the timed loop, ref: src/main.cpp:246-255)."""
+    Returns ``(init_fn, update_fn, chainback_fn, prepare_fn,
+    make_chainback_chain, make_update_chain)``; ``prepare_fn(symbols [B, T,
+    R])`` stages symbols in the backend's native layout *outside* the timed
+    phases (the reference likewise encodes its symbol buffer outside the
+    timed loop, ref: src/main.cpp:246-255).  The two ``make_*_chain(k)``
+    factories build single jitted programs of k data-dependent phase
+    executions (metrics feed forward; endstates vary) for marginal timing --
+    out-of-jit chains drown sub-10ms phases in this rig's dispatch jitter."""
     if not supports(code):
         # Large-K family: state-blocked update kernel (two steps fused per
         # launch); traceback via the batched pallas kernel while its word
@@ -183,7 +187,24 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
 
             return run
 
-        return init_fn, update_fn, chainback_fn, prepare_fn, make_chainback_chain
+        def make_update_chain(k):
+            @jax.jit
+            def run(m, symbols):
+                m, w, _ = large_k2.acs_update_large2(
+                    code, numeric, m, symbols, interp_lg)
+
+                def body(_, carry):
+                    m, w = carry
+                    m2, w2, _ = large_k2.acs_update_large2(
+                        code, numeric, m, symbols, interp_lg)
+                    return (m2, w2)
+
+                return jax.lax.fori_loop(0, k - 1, body, (m, w))
+
+            return run
+
+        return (init_fn, update_fn, chainback_fn, prepare_fn,
+                make_chainback_chain, make_update_chain)
 
     interp = not on_tpu()
 
@@ -255,4 +276,26 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
 
         return lambda words: run(words[0], words[1], words[2])
 
-    return init_fn, update_fn, chainback_fn, prepare_fn, make_chainback_chain
+    def make_update_chain(k):
+        """In-jit chain of k updates (metrics feed forward)."""
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def run(m, sym_native, T):
+            impl = _small_k_impl(m.shape[1])
+            m, dec = impl(code, numeric, m, sym_native, T, interp)
+
+            def body(_, carry):
+                m, dec = carry
+                return impl(code, numeric, m, sym_native, T, interp)
+
+            return jax.lax.fori_loop(0, k - 1, body, (m, dec))
+
+        def chain_fn(m, prepared):
+            sym_native, T, B = prepared
+            m2, dec = run(m, sym_native, T)
+            return m2, (dec, T, B)  # words in update_fn's native format
+
+        return chain_fn
+
+    return (init_fn, update_fn, chainback_fn, prepare_fn,
+            make_chainback_chain, make_update_chain)

@@ -98,6 +98,20 @@ def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int):
     R = code.R
     low = numeric.soft_low
     hl = numeric.soft_high + numeric.soft_low
+    # XOR-flip pattern per combo x = h*2 + b and polynomial r:
+    # e_r(x) = e_r(0) ^ f_r(x) with f_r = (b & p_r) ^ (h & p_r >> (K-1)) --
+    # only x=0's expected-bit columns are read; the other combos derive by
+    # sign-flipping the shared products.  For codes whose every polynomial
+    # taps both register ends (all six standard codes do), the four penalty
+    # combos collapse to TWO distinct arrays (pen(1,1)=pen(0,0),
+    # pen(0,1)=pen(1,0)), dropping the penalty build from 4R to ~R+2
+    # state-wide ops per step.
+    flips = []
+    for x in range(4):
+        h, b = x >> 1, x & 1
+        flips.append(tuple(
+            ((b & p) ^ (h & (p >> (code.K - 1)))) & 1 for p in code.abs_polys()
+        ))
 
     def kernel(e_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
         # sym_ref: [TB, R, B] int32; e_ref: [S2, 4*R] int32;
@@ -115,16 +129,25 @@ def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int):
             # expected bit e and symbol y is (y-low) + e*(high+low-2y),
             # reproducing ka9q's XOR-negation metric, viterbi27_sse2.cpp:137-146).
             base = jnp.zeros((1, sym.shape[1]), dtype=jnp.int32)
+            coefs = []
             for r in range(R):
                 base = base + (sym[r : r + 1] - low)
-            pens = []
+                coefs.append(hl - 2 * sym[r : r + 1])        # [1, B]
+            prods = [
+                e_ref[:, r : r + 1] * coefs[r] for r in range(R)  # x=0 cols
+            ]
+            distinct = {}
             for x in range(4):  # x = h*2 + b
-                p = base
-                for r in range(R):
-                    e = e_ref[:, x * R + r : x * R + r + 1]  # [S2, 1]
-                    coef = hl - 2 * sym[r : r + 1]           # [1, B]
-                    p = p + e * coef
-                pens.append(p)  # [S2, B]
+                f = flips[x]
+                if f not in distinct:
+                    sv = base
+                    acc = None
+                    for r in range(R):
+                        sv = sv + coefs[r] if f[r] else sv
+                        signed = -prods[r] if f[r] else prods[r]
+                        acc = signed if acc is None else acc + signed
+                    distinct[f] = acc + sv
+            pens = [distinct[flips[x]] for x in range(4)]  # [S2, B] each
 
             m = m_scr[:]
             mlo = m[:S2]

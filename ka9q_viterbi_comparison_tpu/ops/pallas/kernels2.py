@@ -49,6 +49,31 @@ def _acs_kernel2(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int):
     R = code.R
     low = numeric.soft_low
     hl = numeric.soft_high + numeric.soft_low
+    # Same penalty factoring as kernels._acs_kernel: combos derive from the
+    # x=0 expected-bit columns by static sign flips (two distinct arrays for
+    # both-ends-tapped codes).
+    flips = []
+    for x in range(4):
+        h, b = x >> 1, x & 1
+        flips.append(tuple(
+            ((b & p) ^ (h & (p >> (code.K - 1)))) & 1 for p in code.abs_polys()
+        ))
+
+    def factored_pens(e0_cols, coefs, base):
+        """e0_cols[r]: [rows, 1] x=0 expected bits; coefs[r]/base: [1, B]."""
+        prods = [e0_cols[r] * coefs[r] for r in range(R)]
+        distinct = {}
+        for x in range(4):
+            f = flips[x]
+            if f not in distinct:
+                sv = base
+                acc = None
+                for r in range(R):
+                    sv = sv + coefs[r] if f[r] else sv
+                    signed = -prods[r] if f[r] else prods[r]
+                    acc = signed if acc is None else acc + signed
+                distinct[f] = acc + sv
+        return [distinct[flips[x]] for x in range(4)]
 
     def pack(dec, B):
         if S >= 32:
@@ -76,15 +101,12 @@ def _acs_kernel2(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int):
             symA = sym_ref[tA]  # [R, B]
             B = symA.shape[1]
             baseA = jnp.zeros((1, B), dtype=jnp.int32)
+            coefsA = []
             for r in range(R):
                 baseA = baseA + (symA[r : r + 1] - low)
-            pensA = []
-            for x in range(4):
-                p = baseA
-                for r in range(R):
-                    e = e_ref[:, x * R + r : x * R + r + 1]
-                    p = p + e * (hl - 2 * symA[r : r + 1])
-                pensA.append(p)
+                coefsA.append(hl - 2 * symA[r : r + 1])
+            pensA = factored_pens(
+                [e_ref[:, r : r + 1] for r in range(R)], coefsA, baseA)
 
             m = m_scr[:]
             mlo = m[:S2]
@@ -116,13 +138,10 @@ def _acs_kernel2(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int):
             cand2 = {}
             d2 = {}
             for b1 in (0, 1):
-                pens = []
-                for x in range(4):
-                    p = baseB
-                    for r in range(R):
-                        e = e2_ref[:, (b1 * 4 + x) * R + r : (b1 * 4 + x) * R + r + 1]
-                        p = p + e * coefB[r]
-                    pens.append(p)
+                pens = factored_pens(
+                    [e2_ref[:, b1 * 4 * R + r : b1 * 4 * R + r + 1]
+                     for r in range(R)],
+                    coefB, baseB)
                 i_lo = cand[b1][:S4]
                 i_hi = cand[b1][S4:]
                 for b2 in (0, 1):

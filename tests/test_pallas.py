@@ -86,7 +86,7 @@ def test_pallas_phase_fns_roundtrip(rng):
     data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
     syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
 
-    init_fn, update_fn, chainback_fn, prepare_fn, _ = dispatch.phase_fns(
+    init_fn, update_fn, chainback_fn, prepare_fn, _, _ = dispatch.phase_fns(
         code, numeric, n_bytes * 8
     )
     m = init_fn(B)

@@ -40,7 +40,7 @@ def probe_timing_honesty():
     data = rng.integers(0, 256, size=(B, 1024), dtype=np.uint8)
     syms = jax.block_until_ready(
         encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, 2))
-    init_fn, update_fn, _, prepare_fn, _ = dispatch.phase_fns(code, numeric, 1024 * 8)
+    init_fn, update_fn, _, prepare_fn, _, _ = dispatch.phase_fns(code, numeric, 1024 * 8)
     prepared = prepare_fn(syms)
     m = init_fn(B)
     r = update_fn(m, prepared)
