@@ -64,9 +64,11 @@ def main() -> None:
 
     # Marginal chained timing: reports true device throughput; per-call
     # dispatch overhead (milliseconds on tunneled transports) cancels.
+    # 9-link chain: the larger marginal denominator (8 extra updates) keeps
+    # single-sample transport jitter from dominating the difference.
     sym_per_s = time_update_marginal(
         code, numeric, symbols.reshape(B, -1, code.R), backend=backend,
-        n_chain=3, iters=args.iters,
+        n_chain=9, iters=max(args.iters, 7),
     )
     print(
         json.dumps(

@@ -176,6 +176,12 @@ def state_sharded_decode_bits(
         # dec_local: [T, B, n_local] bool, sharded by state.
 
         # Serial traceback, bit recovered by the owning device each step.
+        # NOTE scaling limit: this is O(T) psum collectives (one per trellis
+        # step) plus an O(n_local) ownership mask per step -- fine for the
+        # short ICE frames this sharding exists for (T = 87 at 8 data
+        # bytes), but a long K=24 stream should instead gather the decision
+        # history to one device per time-block and walk it there (cf.
+        # parallel/timeblock.py), or accept ~T x collective latency.
         local_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1) + base
 
         def tb_body(state, dec_t):

@@ -90,6 +90,11 @@ def full_matrix(out_path="data/benchmark.json", t=0.3, n=4):
         rate = rec["total_output_symbols"] / (np.median(upd) * 1e-9)
         LOG(f"  {rec['name']:>12} K={rec['K']:>2} R={rec['R']} "
             f"update {rate/1e6:,.1f} Msym/s  BER {rec['bit_error_rate']:.3f}")
+    # Noiseless channel + tail termination: any nonzero BER on hardware is a
+    # kernel bug (the reference's own invariant, src/main.cpp:110-115).
+    bad = [r["name"] for r in data if r["bit_error_rate"] != 0]
+    assert not bad, f"nonzero BER on hardware for: {bad}"
+    LOG("MATRIX: all configs bit-exact on hardware (BER=0)")
 
 
 if __name__ == "__main__":
