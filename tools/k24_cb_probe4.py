@@ -19,6 +19,15 @@ This probe measures whether either property buys anything on this platform:
       [2^j, W >> j] reshape fetches all 2^j depth-j candidates in ONE op.
   t4: full speculative depth-4 walk (4 strided fetches + in-register
       resolve per 4 steps), checked bit-exact against the plain walk.
+
+MEASURED VERDICT (v5e, 2026-08-17): speculation loses.  The speculative
+walk is bit-exact but 3-7x SLOWER per bit than the plain dependent walk
+(d=6: 7.1 us/bit vs 2.3 us/bit plain, single frame) -- every fetch op pays
+the platform's per-op issue overhead whether or not its address was
+data-independent, and XLA shows no reliable overlap of independent
+dynamic_slices (t1/t2 marginals flip run-to-run under contention; the
+micro-marginals are ~1% of the rig's 60-80 ms dispatch jitter).  The
+dependent-fetch latency floor documented in RESULTS.md stands.
 """
 
 import os
@@ -44,10 +53,12 @@ T = 87             # trellis steps for the 8-byte ICE frame
 def marginal(fn1, fnN, n_extra, args, iters=5):
     def timed(fn):
         t0 = time.perf_counter()
-        np.asarray(fn(*args))
+        r = fn(*args)
+        jax.block_until_ready(r)
+        np.asarray(jax.tree.leaves(r)[-1])  # force a fetch (BUR lies on axon)
         return time.perf_counter() - t0
 
-    np.asarray(fn1(*args)); np.asarray(fnN(*args))
+    jax.block_until_ready(fn1(*args)); jax.block_until_ready(fnN(*args))
     margs = []
     for _ in range(iters):
         t1 = min(timed(fn1), timed(fn1))

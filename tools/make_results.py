@@ -59,9 +59,13 @@ row. The best formulation on this platform (per-frame `dynamic_slice`)
 measures ~1.2 µs per dependent fetch, serialized by XLA's sequential
 schedule, giving ~0.64 Mbit/s at any batch — the measured platform floor
 (the only parallel-fetch primitive, a Pallas async copy from HBM, does not
-compile on this toolchain; `tools/k24_cb_probe2.py`). The reference's CPU
-wins this single phase (3.4 M); it is ~100x cheaper than the K=24 symbol
-update in absolute terms, so end-to-end K=24 decode remains faster here.
+compile on this toolchain; `tools/k24_cb_probe2.py`, and speculative
+traceback — fetching the 2^j candidate words whose addresses are pure
+functions of the block-entry state — is bit-exact but 3x slower, since
+every fetch pays the same per-op overhead; `tools/k24_cb_probe4.py`). The
+reference's CPU wins this single phase (3.4 M); it is ~100x cheaper than
+the K=24 symbol update in absolute terms, so end-to-end K=24 decode remains
+faster here.
 
 """
     with open(os.path.join(REPO, args.out), "w") as f:
