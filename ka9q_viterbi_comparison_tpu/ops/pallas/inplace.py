@@ -1,0 +1,428 @@
+"""In-place ACS kernel with rotating state addressing (mid-size trellises).
+
+The plain VMEM-resident kernel (``kernels.py``) pays a full sublane
+interleave of the ``[S, B]`` metric array every trellis step -- for K=15's
+16384 sublane rows that relayout dominates the step (measured: the
+whole-frame VMEM kernel is *slower* than the HBM-streamed ``large_k2`` at
+K=15, ``tools/k15_vmem_probe.py``).  This kernel removes the interleave
+entirely with the classic in-place trick (the FFT-style address rotation):
+
+    store the metric of state ``s`` at position ``rotr(s, t mod (K-1))``
+    at trellis step ``t`` (bit-rotation within the K-1 state bits).
+
+Under that addressing the butterfly becomes in-place: at step ``t`` the
+pair read for predecessor half-state ``s2`` sits at positions
+``(q, q | 2**j)`` with ``q = rotr(s2, t)`` and ``j = (K-2-t) mod (K-1)``,
+and the two new metrics (states ``2*s2+b``) write back to those same two
+positions::
+
+    pos_{t+1}(2*s2 + b) = rotr(s2 + b*2**(K-2), t) = q | b*2**j
+
+So each step is: slice the metric array in halves along bit ``j`` of the
+position index (a reshape ``[S >> (j+1), 2, 2**j, B]`` -- pure vreg
+addressing for ``2**j >= 8``), ACS, write the candidates straight back.
+No stack/interleave, no HBM metric traffic, and the decision words leave
+bit-packed in *position* order; the chainback kernel maps state to
+position with the same rotation (two shifts + or on the ``[1, B]`` state
+vector per step).
+
+The phase ``j`` cycles through K-1 static slice patterns, so the time loop
+runs in groups of K-1 statically-unrolled steps (time blocks are sized to a
+multiple of K-1 and the frame tail is unrolled statically).  Branch
+penalties reuse the affine decomposition of ``kernels.py`` but need the
+``x = 0`` expected-bit table *in position order per phase*: ``K-1`` small
+static tables built once on the host (``[K-1, S/2, R]``; 2.75 MiB for
+K=15 -- vs the reference's single state-ordered table,
+ref: ka9q_libfec_port/viterbi615_sse2.cpp:100-118).
+
+Blockwise resume: the caller threads the number of trellis steps already
+consumed (``t0``); metrics enter/leave in position space of ``t0 mod (K-1)``
+(the public dispatch wrapper un/re-rotates to state order at block
+boundaries -- one static gather per *call*, amortised over the block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...configs import CodeSpec, NumericSpec
+from ..branch import transition_tables
+
+__all__ = [
+    "acs_update_inplace",
+    "chainback_inplace",
+    "pick_time_block_inplace",
+    "pad_time_inplace",
+    "rot_perm",
+    "CB_TB",
+]
+
+CB_TB = 32  # chainback time block (bit-packing wants 32 | TB)
+
+# VMEM budget for the streamed decision blocks of the update kernel
+# (double-buffered); metrics + tables are resident on top of this.
+DEC_BLOCK_BUDGET = 16 * 1024 * 1024
+
+
+def _rotl(x, t, nbits):
+    if t == 0:
+        return x & ((1 << nbits) - 1)
+    mask = (1 << nbits) - 1
+    return ((x << t) | (x >> (nbits - t))) & mask
+
+
+def _rotr(x, t, nbits):
+    return _rotl(x, (nbits - t) % nbits, nbits)
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_tables_np(code: CodeSpec) -> np.ndarray:
+    """``[K-1, S/2, R]`` int32: expected output bit of polynomial ``r`` for
+    the ``h=0, b=0`` combo, reordered so row ``i`` of phase ``p`` is the
+    butterfly pair at compressed position ``i`` (position ``q`` with pair
+    bit ``j = (K-2-p) mod (K-1)`` removed: ``q = (i >> j) << (j+1) | (i &
+    (2**j - 1))``, predecessor ``s2 = rotl(q, p)``)."""
+    K = code.K
+    nrot = K - 1
+    S2 = code.num_states // 2
+    e0 = transition_tables(code)[0].astype(np.int32)  # [R, S2], x = h*2+b = 0
+    out = np.empty((nrot, S2, code.R), np.int32)
+    idx = np.arange(S2, dtype=np.int64)
+    for phase in range(nrot):
+        j = (K - 2 - phase) % nrot
+        q = ((idx >> j) << (j + 1)) | (idx & ((1 << j) - 1))
+        s2 = _rotl(q, phase, nrot)
+        out[phase] = e0[:, s2].T
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def rot_perm(code: CodeSpec, t: int, inverse: bool = False) -> np.ndarray:
+    """State-axis gather indices between state order and position space.
+
+    Forward (``inverse=False``): ``m_pos = m_state[perm]`` for rotation
+    phase ``t`` (``perm[q] = rotl(q, t)``).  Inverse: ``m_state =
+    m_pos[perm]`` (``perm[s] = rotr(s, t)``)."""
+    nrot = code.K - 1
+    t = t % nrot
+    s = np.arange(code.num_states, dtype=np.int32)
+    return (_rotr(s, t, nrot) if inverse else _rotl(s, t, nrot)).astype(np.int32)
+
+
+def pick_time_block_inplace(code: CodeSpec, batch: int) -> int:
+    """Update time block: a multiple of K-1 (every grid block starts at the
+    same rotation phase) whose streamed decision blocks fit the budget, and
+    aligned with the chainback block so one padded length serves both
+    (``lcm(TB, CB_TB)`` stays the padding unit)."""
+    W = max(1, code.num_states // 32)
+    per_step = (code.R + W) * batch * 4
+    groups = max(1, DEC_BLOCK_BUDGET // (2 * per_step * (code.K - 1)))
+    return (code.K - 1) * min(groups, 16)
+
+
+def pad_time_inplace(code: CodeSpec, T: int, batch: int) -> int:
+    tb = pick_time_block_inplace(code, batch)
+    unit = tb * CB_TB // np.gcd(tb, CB_TB)
+    return -(-T // unit) * unit
+
+
+def _pack_weights(B: int) -> jnp.ndarray:
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+    return jax.lax.shift_left(jnp.ones((1, 32, 1), dtype=jnp.int32), j)
+
+
+def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
+                        n_last: int, p0: int):
+    S = code.num_states
+    S2 = S // 2
+    W = max(1, S // 32)
+    R = code.R
+    K = code.K
+    nrot = K - 1
+    low = numeric.soft_low
+    hl = numeric.soft_high + numeric.soft_low
+    # XOR-flip per combo x = h*2+b (identical to kernels.py -- the flips are
+    # position-independent, only the e-table rows were reordered).
+    flips = []
+    for x in range(4):
+        h, b = x >> 1, x & 1
+        flips.append(tuple(
+            ((b & p) ^ (h & (p >> (K - 1)))) & 1 for p in code.abs_polys()
+        ))
+
+    def kernel(e_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
+        # e_ref: [nrot, S2, R]; sym_ref: [TB, R, B]; m_in/out: [S, B] in
+        # position space; dec_ref: [TB, W, B] packed in position order.
+        i = pl.program_id(0)
+        nb = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _():
+            m_scr[:] = m_in_ref[:]
+
+        def step(t, phase):
+            """One trellis step at static rotation ``phase`` (t traced)."""
+            j = (K - 2 - phase) % nrot
+            sym = sym_ref[t]  # [R, B]
+            base = jnp.zeros((1, sym.shape[1]), dtype=jnp.int32)
+            coefs = []
+            for r in range(R):
+                base = base + (sym[r : r + 1] - low)
+                coefs.append(hl - 2 * sym[r : r + 1])
+            e = e_ref[phase]  # [S2, R]
+            prods = [e[:, r : r + 1] * coefs[r] for r in range(R)]
+            distinct = {}
+            for x in range(4):
+                f = flips[x]
+                if f not in distinct:
+                    sv = base
+                    acc = None
+                    for r in range(R):
+                        sv = sv + coefs[r] if f[r] else sv
+                        signed = -prods[r] if f[r] else prods[r]
+                        acc = signed if acc is None else acc + signed
+                    distinct[f] = acc + sv
+            pens = [distinct[flips[x]] for x in range(4)]  # [S2, B]
+
+            B = pens[0].shape[1]
+            m_r = m_scr[:].reshape(S >> (j + 1), 2, 1 << j, B)
+            mlo = m_r[:, 0].reshape(S2, B)
+            mhi = m_r[:, 1].reshape(S2, B)
+            cands = []
+            decs = []
+            for b in (0, 1):
+                c_lo = mlo + pens[0 * 2 + b]
+                c_hi = mhi + pens[1 * 2 + b]
+                d = c_hi < c_lo  # ties keep the low predecessor
+                cands.append(jnp.where(d, c_hi, c_lo))
+                decs.append(d.astype(jnp.int32))
+            # In-place writeback: cand_b lands at position q | b<<j -- the
+            # same [.., 2, 2**j, B] lanes the pair was read from.
+            new = jnp.stack(
+                [c.reshape(S >> (j + 1), 1 << j, B) for c in cands], axis=1
+            ).reshape(S, B)
+            dec = jnp.stack(
+                [d.reshape(S >> (j + 1), 1 << j, B) for d in decs], axis=1
+            ).reshape(S, B)
+            m_scr[:] = new
+            dec_ref[t] = (dec.reshape(W, 32, B) * _pack_weights(B)).sum(axis=1)
+
+        def group(g, _):
+            for u in range(nrot):
+                step(g * nrot + u, (p0 + u) % nrot)
+            return 0
+
+        @pl.when(i < nb - 1)
+        def _():
+            jax.lax.fori_loop(0, TB // nrot, group, 0, unroll=False)
+
+        @pl.when(i == nb - 1)
+        def _():
+            n_full = n_last // nrot
+            jax.lax.fori_loop(0, n_full, group, 0, unroll=False)
+            for u in range(n_last % nrot):
+                step(n_full * nrot + u, (p0 + u) % nrot)
+            m_out_ref[:] = m_scr[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+def acs_update_inplace(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    metrics_pos_sb: jnp.ndarray,
+    symbols_trb: jnp.ndarray,
+    t_real: int,
+    t0: int = 0,
+    interpret: bool = False,
+):
+    """Fused in-place ACS over a frame block.
+
+    Args:
+      metrics_pos_sb: ``[S, B]`` int32 **in position space** of rotation
+        phase ``t0 mod (K-1)`` (state order when ``t0 == 0``; use
+        ``rot_perm`` to convert).
+      symbols_trb: ``[Tp, R, B]`` int32, ``Tp`` a multiple of
+        ``pick_time_block_inplace``.
+      t_real: static -- true number of trellis steps in this call.
+      t0: static -- trellis steps consumed before this call (for blockwise
+        resume; decision positions use the global rotation phase).
+
+    Returns ``(metrics [S, B] in position space of (t0 + t_real) mod (K-1),
+    dec_words [Tp, W, B] uint32 packed in position order)``.
+    """
+    S, B = metrics_pos_sb.shape
+    Tp, R, _ = symbols_trb.shape
+    W = max(1, S // 32)
+    nrot = code.K - 1
+    TB = pick_time_block_inplace(code, B)
+    if Tp % TB != 0:
+        raise ValueError(f"padded T={Tp} not a multiple of time block {TB}")
+    t_real = int(t_real)
+    if not (0 < t_real <= Tp):
+        raise ValueError(f"t_real={t_real} outside (0, {Tp}]")
+    nb = -(-t_real // TB)
+    n_last = t_real - (nb - 1) * TB
+    p0 = int(t0) % nrot
+
+    e_in = jnp.asarray(_phase_tables_np(code))  # [nrot, S2, R]
+
+    kernel = _acs_inplace_kernel(code, numeric, TB, n_last, p0)
+    m_out, dec = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((nrot, S // 2, R), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, R, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, W, B), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, B), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, W, B), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(
+                int(
+                    (nrot * (S // 2) * R * 4
+                     + 2 * TB * R * B * 4
+                     + 3 * S * B * 4
+                     + 2 * TB * W * B * 4) * 1.8
+                ),
+                110 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )(e_in, symbols_trb, metrics_pos_sb)
+    return m_out, jax.lax.bitcast_convert_type(dec, jnp.uint32)
+
+
+def _chainback_inplace_kernel(code: CodeSpec, TB: int, n_last: int):
+    S = code.num_states
+    W = max(1, S // 32)
+    K = code.K
+    nrot = K - 1
+
+    def kernel(dec_ref, end_ref, bits_ref, state_scr):
+        # Identical walk to kernels._chainback_kernel, except the decision
+        # word/bit for state ``s`` at global step ``t`` sits at *position*
+        # ``rotr(s, (t+1) mod (K-1))`` (the packing order the in-place
+        # update kernel produced).
+        nb = pl.num_programs(0)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            state_scr[:] = end_ref[:]
+
+        t_base = (nb - 1 - i) * TB
+        B = end_ref.shape[1]
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+
+        def make_step(steps):
+            def step(jj, acc):
+                t = steps - 1 - jj
+                t_glob = t_base + t
+                state = state_scr[:]  # [1, B]
+                c = (t_glob + 1) % nrot  # traced scalar rotation amount
+                pos = (
+                    jax.lax.shift_right_logical(state, c)
+                    | jax.lax.shift_left(state, nrot - c)
+                ) & (S - 1)
+                words = dec_ref[t]  # [W, B]
+                word = jnp.where(w_iota == (pos >> 5), words, 0).sum(
+                    axis=0, keepdims=True)
+                k = jax.lax.shift_right_logical(word, pos & 31) & 1
+                new_state = jax.lax.shift_right_logical(state, 1) | (
+                    k << (K - 2))
+                state_scr[:] = new_state
+                acc = jnp.where((t & 31) == 31, jnp.zeros_like(acc), acc) | (
+                    k << (t & 31))
+
+                @pl.when((t & 31) == 0)
+                def _():
+                    bits_ref[pl.ds(t_base // 32 + t // 32, 1)] = acc
+
+                return acc
+
+            return step
+
+        acc0 = jnp.zeros((1, B), dtype=jnp.int32)
+
+        @pl.when(i == 0)
+        def _():
+            jax.lax.fori_loop(0, n_last, make_step(n_last), acc0, unroll=False)
+
+        @pl.when(i > 0)
+        def _():
+            jax.lax.fori_loop(0, TB, make_step(TB), acc0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def chainback_inplace(
+    code: CodeSpec,
+    dec_words: jnp.ndarray,
+    endstate: jnp.ndarray,
+    t_real: int,
+    interpret: bool = False,
+):
+    """Traceback over position-packed decisions from ``acs_update_inplace``.
+
+    Same contract as ``kernels.chainback_tb``; ``dec_words`` must cover the
+    frame from trellis step 0 (the rotation phase is derived from the global
+    step index, so blockwise updates concatenate transparently)."""
+    Tp, W, B = dec_words.shape
+    TB = CB_TB
+    if Tp % TB != 0:
+        raise ValueError(f"padded T={Tp} not a multiple of time block {TB}")
+    t_real = int(t_real)
+    if not (0 < t_real <= Tp):
+        raise ValueError(f"t_real={t_real} outside (0, {Tp}]")
+    nb = -(-t_real // TB)
+    n_last = t_real - (nb - 1) * TB
+
+    kernel = _chainback_inplace_kernel(code, TB, n_last)
+    bits = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((TB, W, B), lambda i: (nb - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Tp // 32, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((Tp // 32, B), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(
+                int((2 * TB * W * B * 4 + (Tp // 32) * B * 4 + 2 * B * 4) * 2.5),
+                110 * 1024 * 1024,
+            ),
+        ),
+        interpret=interpret,
+    )(
+        jax.lax.bitcast_convert_type(dec_words, jnp.int32),
+        endstate.astype(jnp.int32),
+    )
+    return jax.lax.bitcast_convert_type(bits[0], jnp.uint32)

@@ -82,7 +82,8 @@ def pick_time_block(code: CodeSpec, batch: int, vmem_budget: int = 2 * 1024 * 10
     return (tb // 32) * 32
 
 
-def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int):
+def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int,
+                unroll: int = 1):
     """``n_last``: trellis steps executed in the FINAL grid block (static).
 
     Steps past the true frame length are simply never executed -- their
@@ -176,19 +177,45 @@ def _acs_kernel(code: CodeSpec, numeric: NumericSpec, TB: int, n_last: int):
             dec_ref[t] = w.sum(axis=1)
             return 0
 
-        @pl.when(i < nb - 1)
-        def _():
-            jax.lax.fori_loop(0, TB, step, 0, unroll=False)
+        if unroll <= 1:
+            @pl.when(i < nb - 1)
+            def _():
+                jax.lax.fori_loop(0, TB, step, 0, unroll=False)
+
+            @pl.when(i == nb - 1)
+            def _():
+                jax.lax.fori_loop(0, n_last, step, 0, unroll=False)
+        else:
+            # Pallas-TPU fori_loop only lowers unroll=1|all; group steps
+            # statically instead (penalty builds of later steps in a group
+            # are independent of the loop-carried metrics, giving Mosaic a
+            # software-pipelining window).
+            assert TB % unroll == 0
+
+            def grp(g, _):
+                for u in range(unroll):
+                    step(g * unroll + u, 0)
+                return 0
+
+            @pl.when(i < nb - 1)
+            def _():
+                jax.lax.fori_loop(0, TB // unroll, grp, 0, unroll=False)
+
+            @pl.when(i == nb - 1)
+            def _():
+                n_full = n_last // unroll
+                jax.lax.fori_loop(0, n_full, grp, 0, unroll=False)
+                for u in range(n_last % unroll):
+                    step(n_full * unroll + u, 0)
 
         @pl.when(i == nb - 1)
         def _():
-            jax.lax.fori_loop(0, n_last, step, 0, unroll=False)
             m_out_ref[:] = m_scr[:]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
 def acs_update_tb(
     code: CodeSpec,
     numeric: NumericSpec,
@@ -196,6 +223,7 @@ def acs_update_tb(
     symbols_trb: jnp.ndarray,
     t_real: int,
     interpret: bool = False,
+    unroll: int = 1,
 ):
     """Fused ACS over a whole frame in state-major layout.
 
@@ -223,7 +251,7 @@ def acs_update_tb(
     # Built on device (no embedded literal): [S2, 4R].
     e_in = transition_tables_jnp(code).transpose(2, 0, 1).reshape(S // 2, 4 * R)
 
-    kernel = _acs_kernel(code, numeric, TB, n_last)
+    kernel = _acs_kernel(code, numeric, TB, n_last, unroll)
     m_out, dec = pl.pallas_call(
         kernel,
         grid=(nb,),
