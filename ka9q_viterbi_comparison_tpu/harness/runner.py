@@ -131,6 +131,18 @@ def run_matrix(
 
 
 def main(argv=None) -> None:
+    # Persistent compilation cache (CLI entry only -- never set as an import
+    # side effect): Mosaic compiles through this rig's remote helper take
+    # minutes; cached matrix reruns take seconds.
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     p = argparse.ArgumentParser(
         "run_benchmark",
         description="Benchmark the TPU-native Viterbi decoder families",
@@ -165,8 +177,6 @@ def main(argv=None) -> None:
         run_matrix(args.sampling_time, args.minimum_samples, sys.stdout, codes,
                    args.batch, args.frame_bytes, args.seed, args.backends)
     else:
-        import os
-
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
         with open(args.output, "w") as f:
             run_matrix(args.sampling_time, args.minimum_samples, f, codes,

@@ -62,6 +62,7 @@ class ViterbiDecoder:
         self.metrics = acs.init_metrics(self.code, self.numeric, self.batch, starting_state)
         self.renorm_offset = jnp.zeros((self.batch,), dtype=jnp.int32)
         self._decision_blocks: list[jnp.ndarray] = []
+        self._steps = 0  # trellis steps consumed (blockwise resume cursor)
 
     # -- phase 2: symbol update (ref: update_viterbi27_blk_sse2) --
     def update(self, symbols: jnp.ndarray) -> None:
@@ -71,8 +72,10 @@ class ViterbiDecoder:
             symbols = symbols.reshape(self.batch, -1, self.code.R)
         symbols = symbols.astype(jnp.int32)
         if self.backend == "pallas":
+            # t0 keeps the in-place kernel's rotation phases (and decision
+            # packing positions) globally consistent across blocks.
             self.metrics, words, off = self._pallas.acs_update(
-                self.code, self.numeric, self.metrics, symbols
+                self.code, self.numeric, self.metrics, symbols, self._steps
             )
         else:
             fused = True  # in-scan penalties; whole-frame tensor is O(T*B*2S)
@@ -81,6 +84,7 @@ class ViterbiDecoder:
             )
         self.renorm_offset = self.renorm_offset + off
         self._decision_blocks.append(words)
+        self._steps += symbols.shape[1]
 
     # -- phase 3: chainback (ref: chainback_viterbi27_sse2) --
     def chainback(self, num_data_bits: int, endstate: int = 0) -> jnp.ndarray:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ...configs import CodeSpec, NumericSpec
 from ...utils.bits import bits_to_bytes
 from .. import acs, chainback as cb
-from . import kernels, kernels2
+from . import inplace, kernels, kernels2
 
 __all__ = ["acs_update", "chainback", "phase_fns", "supports", "on_tpu"]
 
@@ -39,6 +39,32 @@ def supports(code: CodeSpec) -> bool:
     Larger ones (K >= 10) run faster on the state-blocked large_k kernel
     (measured at K=15: 12.7 vs 9.6 Msym/s)."""
     return code.K <= 9
+
+
+def use_inplace(code: CodeSpec, batch_padded: int) -> bool:
+    """EXPERIMENTAL opt-in (``KA9Q_TPU_INPLACE=1``): route mid-size
+    trellises (K 10..15) to the in-place rotating-address kernel
+    (``inplace.py``) when its resident metric array fits VMEM.  The kernel
+    is bit-exact in interpreter mode (tests force the route), but the
+    current formulation does not yet compile on real-TPU Mosaic at K=15
+    B=128 -- the full-array strided reshapes of the low rotation phases
+    blow the register allocator (254 MiB of spill slots, VMEM OOM) -- so it
+    stays off the default path until the chunked rewrite lands."""
+    import os
+
+    if os.environ.get("KA9Q_TPU_INPLACE") != "1":
+        return False
+    if not (9 < code.K <= 15):
+        return False
+    S = code.num_states
+    W = max(1, S // 32)
+    TB = inplace.pick_time_block_inplace(code, batch_padded)
+    need = (
+        3 * S * batch_padded * 4
+        + (S // 2) * max(128, (code.K - 1) * code.R) * 4  # lane-padded e-table
+        + 2 * TB * (code.R + W) * batch_padded * 4
+    )
+    return need * 1.8 <= kernels.VMEM_CAP
 
 
 def supports_chainback(code: CodeSpec) -> bool:
@@ -90,13 +116,46 @@ def unpack_bit_words(bits_words: jnp.ndarray, T: int) -> jnp.ndarray:
     return bits.reshape(Tp32 * 32, B).T[:, :T].astype(jnp.uint8)
 
 
-def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbols: jnp.ndarray):
+def _inplace_update(code, numeric, metrics, symbols, t0):
+    """Batch-major wrapper over the in-place rotating-address kernel.
+
+    ``t0`` — trellis steps consumed before this call — keeps the rotation
+    phases (and decision packing positions) globally consistent across
+    blockwise updates; metrics cross the call boundary in state order (one
+    static gather each way, amortised over the block)."""
+    B, T, R = symbols.shape
+    Bp = _pad_batch(B)
+    nrot = code.K - 1
+    t0 = int(t0) % nrot
+    Tp = inplace.pad_time_inplace(code, T, Bp)
+    sym = jnp.pad(symbols.astype(jnp.int32),
+                  ((0, Bp - B), (0, Tp - T), (0, 0))).transpose(1, 2, 0)
+    m = jnp.pad(metrics, ((0, Bp - B), (0, 0))).T  # [S, Bp]
+    if t0 % nrot:
+        m = m[jnp.asarray(inplace.rot_perm(code, t0))]
+    m, dec = inplace.acs_update_inplace(
+        code, numeric, m, sym, T, t0, not on_tpu())
+    if (t0 + T) % nrot:
+        m = m[jnp.asarray(inplace.rot_perm(code, t0 + T, inverse=True))]
+    words = dec[:T].transpose(2, 0, 1)[:B]  # [B, T, W], position-packed
+    offset = jnp.zeros((B,), dtype=jnp.int32)
+    return m.T[:B], words, offset
+
+
+def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray,
+               symbols: jnp.ndarray, t0: int = 0):
     """Batch-major wrapper matching ``ops.acs.acs_update``'s contract:
     ``(metrics [B,S], symbols [B,T,R]) -> (metrics, words [B,T,W], offset)``.
+
+    ``t0``: trellis steps already consumed (blockwise resume); only the
+    in-place kernel family consumes it (its decision packing depends on the
+    global step index).
     """
     B, T, R = symbols.shape
     Bp = _pad_batch(B)
     if not supports(code):
+        if use_inplace(code, Bp):
+            return _inplace_update(code, numeric, metrics, symbols, t0)
         # Large-K: state-blocked kernel with HBM-resident metrics, two
         # trellis steps fused per launch.
         from . import large_k2
@@ -119,10 +178,32 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray, symbo
     return m_sb.T[:B], words, offset
 
 
+def _inplace_chainback(code, words, num_data_bits, endstate=0):
+    """Traceback over position-packed words from ``_inplace_update``."""
+    B, T, W = words.shape
+    Bp = _pad_batch(B)
+    Tp = -(-T // inplace.CB_TB) * inplace.CB_TB
+    w = jnp.pad(words, ((0, Bp - B), (0, Tp - T), (0, 0)))
+    end = jnp.broadcast_to(
+        jnp.asarray(endstate, dtype=jnp.int32) & (code.num_states - 1), (1, Bp)
+    )
+    bits_words = inplace.chainback_inplace(
+        code, w.transpose(1, 2, 0), end, T, not on_tpu())
+    bits = unpack_bit_words(bits_words, T)[:B]
+    return bits_to_bytes(bits[:, code.K - 1 : code.K - 1 + num_data_bits])
+
+
 def chainback(code: CodeSpec, words: jnp.ndarray, num_data_bits: int, endstate=0) -> jnp.ndarray:
-    """Batch-major wrapper matching ``ops.chainback.chainback``'s contract."""
+    """Batch-major wrapper matching ``ops.chainback.chainback``'s contract.
+
+    Routing mirrors ``acs_update`` exactly: words produced by the in-place
+    kernel are packed in *position* order and must walk through
+    ``chainback_inplace`` (the predicate is deterministic in (code, padded
+    batch), so update and chainback always agree)."""
     if not supports_chainback(code):
         return cb.chainback(code, words, num_data_bits, endstate)
+    if not supports(code) and use_inplace(code, _pad_batch(words.shape[0])):
+        return _inplace_chainback(code, words, num_data_bits, endstate)
     B, T, W = words.shape
     Bp = _pad_batch(B)
     Tp = _pad_time(code, T, Bp)
@@ -137,6 +218,98 @@ def chainback(code: CodeSpec, words: jnp.ndarray, num_data_bits: int, endstate=0
     return bits_to_bytes(bits[:, code.K - 1 : code.K - 1 + num_data_bits])
 
 
+def _inplace_phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
+    """Native-layout lifecycle phases for the in-place rotating-address
+    family (K 10..15): metrics stay ``[S, B]`` and decisions stay
+    position-packed ``[Tp, W, B]`` between phases, mirroring the small-K
+    native path.  Whole frames from step 0 (``t0 = 0``), so entry metrics
+    in state order are already in rotation-phase-0 position space."""
+    interp = not on_tpu()
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def init_fn(batch):
+        Bp = _pad_batch(batch)
+        if not use_inplace(code, Bp):
+            raise ValueError(
+                f"inplace kernel metrics for K={code.K} at padded batch {Bp} "
+                f"exceed VMEM; use a smaller batch (or the jnp backend)")
+        return acs.init_metrics(code, numeric, Bp).T  # [S, B]
+
+    @jax.jit
+    def _prepare_impl(symbols):
+        B, T, R = symbols.shape
+        Bp = _pad_batch(B)
+        Tp = inplace.pad_time_inplace(code, T, Bp)
+        return jnp.pad(symbols.astype(jnp.int32),
+                       ((0, Bp - B), (0, Tp - T), (0, 0))).transpose(1, 2, 0)
+
+    def prepare_fn(symbols):
+        B, T, _ = symbols.shape
+        return jax.block_until_ready(_prepare_impl(symbols)), T, B
+
+    def update_fn(metrics_sb, prepared):
+        sym_native, T, B = prepared
+        m, dec = inplace.acs_update_inplace(
+            code, numeric, metrics_sb, sym_native, T, 0, interp)
+        return m, (dec, T, B), jnp.zeros((B,), dtype=jnp.int32)
+
+    def _chainback_impl(dec, T, B, endstate):
+        Bp = dec.shape[2]
+        end = jnp.full((1, Bp), endstate & (code.num_states - 1), dtype=jnp.int32)
+        Tc = -(-T // inplace.CB_TB) * inplace.CB_TB
+        bits_words = inplace.chainback_inplace(code, dec[:Tc], end, T, interp)
+        bits = unpack_bit_words(bits_words, T)[:B]
+        return bits_to_bytes(bits[:, code.K - 1 : code.K - 1 + num_data_bits])
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _chainback_native(dec, T, B):
+        return _chainback_impl(dec, T, B, 0)
+
+    def chainback_fn(words_native):
+        dec, T, B = words_native
+        return _chainback_native(dec, T, B)
+
+    def make_chainback_chain(k):
+        @functools.partial(jax.jit, static_argnums=(1, 2))
+        def run(dec, T, B):
+            out0 = _chainback_impl(dec, T, B, jnp.int32(0))
+
+            def body(_, carry):
+                es, prev = carry
+                out = _chainback_impl(dec, T, B, es)
+                return out[0, -1].astype(jnp.int32), out
+
+            _, out = jax.lax.fori_loop(
+                0, k - 1, body, (out0[0, -1].astype(jnp.int32), out0)
+            )
+            return out
+
+        return lambda words: run(words[0], words[1], words[2])
+
+    def make_update_chain(k):
+        @functools.partial(jax.jit, static_argnums=2)
+        def run(m, sym_native, T):
+            m, dec = inplace.acs_update_inplace(
+                code, numeric, m, sym_native, T, 0, interp)
+
+            def body(_, carry):
+                m, dec = carry
+                return inplace.acs_update_inplace(
+                    code, numeric, m, sym_native, T, 0, interp)
+
+            return jax.lax.fori_loop(0, k - 1, body, (m, dec))
+
+        def chain_fn(m, prepared):
+            sym_native, T, B = prepared
+            m2, dec = run(m, sym_native, T)
+            return m2, (dec, T, B)
+
+        return chain_fn
+
+    return (init_fn, update_fn, chainback_fn, prepare_fn,
+            make_chainback_chain, make_update_chain)
+
+
 def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
     """Native-layout lifecycle phases for benchmarking: no layout conversion
     between update and chainback.
@@ -149,6 +322,8 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
     factories build single jitted programs of k data-dependent phase
     executions (metrics feed forward; endstates vary) for marginal timing --
     out-of-jit chains drown sub-10ms phases in this rig's dispatch jitter."""
+    if not supports(code) and use_inplace(code, LANES):
+        return _inplace_phase_fns(code, numeric, num_data_bits)
     if not supports(code):
         # Large-K family: state-blocked update kernel (two steps fused per
         # launch); traceback via the batched pallas kernel while its word

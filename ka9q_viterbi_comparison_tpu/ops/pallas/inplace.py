@@ -39,6 +39,16 @@ Blockwise resume: the caller threads the number of trellis steps already
 consumed (``t0``); metrics enter/leave in position space of ``t0 mod (K-1)``
 (the public dispatch wrapper un/re-rotates to state order at block
 boundaries -- one static gather per *call*, amortised over the block).
+
+STATUS (experimental, ``KA9Q_TPU_INPLACE=1`` to route): bit-exact in
+interpreter mode against the jnp oracle (tests force the route), but the
+current formulation does not compile on real-TPU Mosaic at K=15 B=128:
+the low rotation phases (pair stride below the 8-sublane tile) lower to
+full-array shuffles whose live ranges blow the register allocator --
+254 MiB of spill slots, VMEM OOM after a ~20 min compile -- and the
+``[nrot, S/2, R]`` phase-table layout pads R=6 lanes to 128 (56 MiB in
+VMEM).  Fix plan: pair-major ``[S/2, nrot*R]`` table and explicit
+state-chunk loops per phase to bound live ranges.
 """
 
 from __future__ import annotations
@@ -83,22 +93,27 @@ def _rotr(x, t, nbits):
 
 @functools.lru_cache(maxsize=None)
 def _phase_tables_np(code: CodeSpec) -> np.ndarray:
-    """``[K-1, S/2, R]`` int32: expected output bit of polynomial ``r`` for
-    the ``h=0, b=0`` combo, reordered so row ``i`` of phase ``p`` is the
-    butterfly pair at compressed position ``i`` (position ``q`` with pair
-    bit ``j = (K-2-p) mod (K-1)`` removed: ``q = (i >> j) << (j+1) | (i &
-    (2**j - 1))``, predecessor ``s2 = rotl(q, p)``)."""
+    """``[S/2, (K-1)*R]`` int32, column ``phase*R + r``: expected output bit
+    of polynomial ``r`` for the ``h=0, b=0`` combo, with row ``i`` the
+    butterfly pair at compressed position ``i`` of that phase (position
+    ``q`` with pair bit ``j = (K-2-phase) mod (K-1)`` removed: ``q = (i >>
+    j) << (j+1) | (i & (2**j - 1))``, predecessor ``s2 = rotl(q, phase)``).
+
+    Pair-major layout: the phase axis lives in *lanes* (padded to 128), so
+    the resident table is ``S/2 x 128`` words (4 MiB at K=15) -- a
+    ``[K-1, S/2, R]`` layout would pad R=6 lanes to 128 *per phase*
+    (56 MiB)."""
     K = code.K
     nrot = K - 1
     S2 = code.num_states // 2
     e0 = transition_tables(code)[0].astype(np.int32)  # [R, S2], x = h*2+b = 0
-    out = np.empty((nrot, S2, code.R), np.int32)
+    out = np.empty((S2, nrot * code.R), np.int32)
     idx = np.arange(S2, dtype=np.int64)
     for phase in range(nrot):
         j = (K - 2 - phase) % nrot
         q = ((idx >> j) << (j + 1)) | (idx & ((1 << j) - 1))
         s2 = _rotl(q, phase, nrot)
-        out[phase] = e0[:, s2].T
+        out[:, phase * code.R : (phase + 1) * code.R] = e0[:, s2].T
     return out
 
 
@@ -137,6 +152,11 @@ def _pack_weights(B: int) -> jnp.ndarray:
     return jax.lax.shift_left(jnp.ones((1, 32, 1), dtype=jnp.int32), j)
 
 
+# State-chunk rows processed per inner-loop iteration: bounds Mosaic's live
+# ranges (the full-array formulation spilled 254 MiB of registers at K=15).
+CHUNK = 512
+
+
 def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                         n_last: int, p0: int):
     S = code.num_states
@@ -145,6 +165,7 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
     R = code.R
     K = code.K
     nrot = K - 1
+    CH = min(CHUNK, S)
     low = numeric.soft_low
     hl = numeric.soft_high + numeric.soft_low
     # XOR-flip per combo x = h*2+b (identical to kernels.py -- the flips are
@@ -157,8 +178,8 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
         ))
 
     def kernel(e_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
-        # e_ref: [nrot, S2, R]; sym_ref: [TB, R, B]; m_in/out: [S, B] in
-        # position space; dec_ref: [TB, W, B] packed in position order.
+        # e_ref: [S2, nrot*R] pair-major; sym_ref: [TB, R, B]; m_in/out:
+        # [S, B] in position space; dec_ref: [TB, W, B] position-packed.
         i = pl.program_id(0)
         nb = pl.num_programs(0)
 
@@ -166,17 +187,12 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
         def _():
             m_scr[:] = m_in_ref[:]
 
-        def step(t, phase):
-            """One trellis step at static rotation ``phase`` (t traced)."""
-            j = (K - 2 - phase) % nrot
-            sym = sym_ref[t]  # [R, B]
-            base = jnp.zeros((1, sym.shape[1]), dtype=jnp.int32)
-            coefs = []
-            for r in range(R):
-                base = base + (sym[r : r + 1] - low)
-                coefs.append(hl - 2 * sym[r : r + 1])
-            e = e_ref[phase]  # [S2, R]
-            prods = [e[:, r : r + 1] * coefs[r] for r in range(R)]
+        def make_pens(phase, i0, n, coefs, base):
+            """Penalty combos for ``n`` pairs from pair index ``i0`` (traced)
+            of ``phase``: [n, B] each, from the pair-major e-table."""
+            cols = [e_ref[pl.ds(i0, n), phase * R + r : phase * R + r + 1]
+                    for r in range(R)]
+            prods = [cols[r] * coefs[r] for r in range(R)]
             distinct = {}
             for x in range(4):
                 f = flips[x]
@@ -188,12 +204,9 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                         signed = -prods[r] if f[r] else prods[r]
                         acc = signed if acc is None else acc + signed
                     distinct[f] = acc + sv
-            pens = [distinct[flips[x]] for x in range(4)]  # [S2, B]
+            return [distinct[flips[x]] for x in range(4)]
 
-            B = pens[0].shape[1]
-            m_r = m_scr[:].reshape(S >> (j + 1), 2, 1 << j, B)
-            mlo = m_r[:, 0].reshape(S2, B)
-            mhi = m_r[:, 1].reshape(S2, B)
+        def acs(mlo, mhi, pens):
             cands = []
             decs = []
             for b in (0, 1):
@@ -202,16 +215,66 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                 d = c_hi < c_lo  # ties keep the low predecessor
                 cands.append(jnp.where(d, c_hi, c_lo))
                 decs.append(d.astype(jnp.int32))
-            # In-place writeback: cand_b lands at position q | b<<j -- the
-            # same [.., 2, 2**j, B] lanes the pair was read from.
-            new = jnp.stack(
-                [c.reshape(S >> (j + 1), 1 << j, B) for c in cands], axis=1
-            ).reshape(S, B)
-            dec = jnp.stack(
-                [d.reshape(S >> (j + 1), 1 << j, B) for d in decs], axis=1
-            ).reshape(S, B)
-            m_scr[:] = new
-            dec_ref[t] = (dec.reshape(W, 32, B) * _pack_weights(B)).sum(axis=1)
+            return cands, decs
+
+        def pack(dec, n):
+            """[n, B] 0/1 ints -> [n//32, B] packed words (position order)."""
+            B = dec.shape[1]
+            return (dec.reshape(n // 32, 32, B) * _pack_weights(B)).sum(axis=1)
+
+        def step(t, phase):
+            """One trellis step at static rotation ``phase`` (t traced),
+            chunked over the state axis so each inner iteration touches
+            O(CH) rows (live-range bound)."""
+            j = (K - 2 - phase) % nrot
+            sym = sym_ref[t]  # [R, B]
+            B = sym.shape[1]
+            base = jnp.zeros((1, B), dtype=jnp.int32)
+            coefs = []
+            for r in range(R):
+                base = base + (sym[r : r + 1] - low)
+                coefs.append(hl - 2 * sym[r : r + 1])
+
+            if (1 << (j + 1)) <= CH:
+                # Strided chunk: CH positions = CH/2 pairs; the pair bit j
+                # interleaves *within* the chunk.
+                def chunk(c, _):
+                    m_c = m_scr[pl.ds(c * CH, CH)]  # [CH, B]
+                    v = m_c.reshape(CH >> (j + 1), 2, 1 << j, B)
+                    mlo = v[:, 0].reshape(CH // 2, B)
+                    mhi = v[:, 1].reshape(CH // 2, B)
+                    pens = make_pens(phase, c * (CH // 2), CH // 2, coefs, base)
+                    cands, decs = acs(mlo, mhi, pens)
+                    new = jnp.stack(
+                        [x.reshape(CH >> (j + 1), 1 << j, B) for x in cands],
+                        axis=1).reshape(CH, B)
+                    dec = jnp.stack(
+                        [x.reshape(CH >> (j + 1), 1 << j, B) for x in decs],
+                        axis=1).reshape(CH, B)
+                    m_scr[pl.ds(c * CH, CH)] = new
+                    dec_ref[t, pl.ds(c * (CH // 32), CH // 32)] = pack(dec, CH)
+                    return 0
+
+                jax.lax.fori_loop(0, S // CH, chunk, 0, unroll=False)
+            else:
+                # Half chunk (2**j >= CH): CH consecutive pairs map to two
+                # *contiguous* CH-row runs at distance 2**j -- reads and
+                # writes are plain slices, no interleave at all.
+                def chunk(c, _):
+                    i0 = c * CH
+                    q0 = ((i0 >> j) << (j + 1)) | (i0 & ((1 << j) - 1))
+                    mlo = m_scr[pl.ds(q0, CH)]
+                    mhi = m_scr[pl.ds(q0 + (1 << j), CH)]
+                    pens = make_pens(phase, i0, CH, coefs, base)
+                    cands, decs = acs(mlo, mhi, pens)
+                    m_scr[pl.ds(q0, CH)] = cands[0]
+                    m_scr[pl.ds(q0 + (1 << j), CH)] = cands[1]
+                    dec_ref[t, pl.ds(q0 // 32, CH // 32)] = pack(decs[0], CH)
+                    dec_ref[t, pl.ds((q0 + (1 << j)) // 32, CH // 32)] = pack(
+                        decs[1], CH)
+                    return 0
+
+                jax.lax.fori_loop(0, S2 // CH, chunk, 0, unroll=False)
 
         def group(g, _):
             for u in range(nrot):
@@ -272,14 +335,14 @@ def acs_update_inplace(
     n_last = t_real - (nb - 1) * TB
     p0 = int(t0) % nrot
 
-    e_in = jnp.asarray(_phase_tables_np(code))  # [nrot, S2, R]
+    e_in = jnp.asarray(_phase_tables_np(code))  # [S2, nrot*R] pair-major
 
     kernel = _acs_inplace_kernel(code, numeric, TB, n_last, p0)
     m_out, dec = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((nrot, S // 2, R), lambda i: (0, 0, 0),
+            pl.BlockSpec((S // 2, nrot * R), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, R, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -299,7 +362,7 @@ def acs_update_inplace(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=min(
                 int(
-                    (nrot * (S // 2) * R * 4
+                    ((S // 2) * max(nrot * R, 128) * 4  # lane-padded e-table
                      + 2 * TB * R * B * 4
                      + 3 * S * B * 4
                      + 2 * TB * W * B * 4) * 1.8

@@ -42,7 +42,18 @@ def test_pallas_update_matches_jnp(code, n_bytes, rng):
     m_pl, words_pl, _ = dispatch.acs_update(code, numeric, m0, syms)
 
     np.testing.assert_array_equal(np.asarray(m_pl), np.asarray(m_ref))
-    np.testing.assert_array_equal(np.asarray(words_pl), np.asarray(words_ref))
+    if dispatch.use_inplace(code, dispatch._pad_batch(B)):
+        # The in-place rotating-address kernel packs decision words in
+        # *position* order, so raw words are not comparable against the
+        # state-ordered jnp path; the invariant is identical decoded bytes
+        # through each path's own traceback.
+        from ka9q_viterbi_comparison_tpu.ops import chainback as cb
+
+        out_ref = cb.chainback(code, words_ref, n_bytes * 8)
+        out_pl = dispatch.chainback(code, words_pl, n_bytes * 8)
+        np.testing.assert_array_equal(np.asarray(out_pl), np.asarray(out_ref))
+    else:
+        np.testing.assert_array_equal(np.asarray(words_pl), np.asarray(words_ref))
 
 
 @pytest.mark.parametrize("code,n_bytes", CASES[:2], ids=lambda c: getattr(c, "name", c))
@@ -55,6 +66,31 @@ def test_pallas_chainback_roundtrip(code, n_bytes, rng):
     dec.update(syms)
     out = dec.chainback(n_bytes * 8)
     assert count_bit_errors(np.asarray(out), data) == 0
+
+
+def test_inplace_route_matches_jnp(rng, monkeypatch):
+    """The experimental in-place rotating-address route (KA9Q_TPU_INPLACE=1)
+    must agree with the jnp path: identical metrics, identical decoded
+    bytes (its decision words are position-packed, so raw words are not
+    comparable -- the traceback must route through chainback_inplace)."""
+    from ka9q_viterbi_comparison_tpu.ops import chainback as cb
+
+    monkeypatch.setenv("KA9Q_TPU_INPLACE", "1")
+    code, n_bytes = VITERBI615, 4
+    numeric = soft8_spec(code.R)
+    B = 3
+    assert dispatch.use_inplace(code, B)
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    m_pl, words_pl, _ = dispatch.acs_update(code, numeric, m0, syms)
+    np.testing.assert_array_equal(np.asarray(m_pl), np.asarray(m_ref))
+
+    out_ref = cb.chainback(code, words_ref, n_bytes * 8)
+    out_pl = dispatch.chainback(code, words_pl, n_bytes * 8)
+    np.testing.assert_array_equal(np.asarray(out_pl), np.asarray(out_ref))
 
 
 def test_batch_adaptive_routing(rng):

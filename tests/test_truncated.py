@@ -49,3 +49,34 @@ def test_pallas_blockwise_update(rng):
     dec.update(syms[:, split:])
     out = dec.chainback(n_bytes * 8)
     assert count_bit_errors(np.asarray(out), data) == 0
+
+
+def test_inplace_blockwise_update(rng, monkeypatch):
+    """K=15 through the (experimental, env-gated) in-place rotating-address
+    kernel; blockwise resume must thread the global step cursor so rotation
+    phases (and decision packing positions) stay consistent across blocks.
+    The split is odd w.r.t. both the K-1 rotation period and the kernel
+    time block."""
+    from ka9q_viterbi_comparison_tpu import VITERBI615
+    from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
+    from ka9q_viterbi_comparison_tpu.ops.pallas import dispatch
+
+    monkeypatch.setenv("KA9Q_TPU_INPLACE", "1")
+    code = VITERBI615
+    numeric = soft8_spec(code.R)
+    assert dispatch.use_inplace(code, 2)  # pin: the route under test
+    n_bytes = 8
+    data = rng.integers(0, 256, size=(2, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data))
+
+    dec = ViterbiDecoder(code, numeric, batch=2, backend="pallas")
+    split = 37 * code.R  # 37 % 14 == 9: mid-rotation-cycle resume
+    dec.update(syms[:, :split])
+    dec.update(syms[:, split:])
+    out = dec.chainback(n_bytes * 8)
+    assert count_bit_errors(np.asarray(out), data) == 0
+
+    # Blockwise metrics must match the whole-frame decode exactly.
+    whole = ViterbiDecoder(code, numeric, batch=2, backend="pallas")
+    whole.update(syms)
+    np.testing.assert_array_equal(np.asarray(dec.metrics), np.asarray(whole.metrics))

@@ -140,19 +140,32 @@ def cb_case(code, B, Tp, n_chain=65):
     return make_marginal(chain, n_chain), B * Tp, f"inplace-cb K={code.K} B={B} Tp={Tp}"
 
 
+CASE_SETS = {
+    "k15": lambda: [
+        inplace_update_case(VITERBI615, 128, 2048),
+        large2_update_case(VITERBI615, 128, 2048),
+    ],
+    "k15b": lambda: [
+        inplace_update_case(VITERBI615, 64, 2048),
+        inplace_update_case(VITERBI615, 256, 2048),
+    ],
+    "small": lambda: [
+        inplace_update_case(VITERBI27, 256, 2048),
+        kernels_update_case(VITERBI27, 256, 2048),
+        inplace_update_case(VITERBI29, 128, 2048),
+        kernels_update_case(VITERBI29, 128, 2048),
+    ],
+    "cb": lambda: [cb_case(VITERBI615, 128, 2048)],
+}
+
 if __name__ == "__main__":
     LOG(f"backend: {jax.default_backend()}")
     cases = []
-    t0 = time.time()
-    cases.append(inplace_update_case(VITERBI615, 128, 2048))
-    cases.append(large2_update_case(VITERBI615, 128, 2048))
-    cases.append(inplace_update_case(VITERBI615, 64, 2048))
-    cases.append(inplace_update_case(VITERBI27, 256, 2048))
-    cases.append(kernels_update_case(VITERBI27, 256, 2048))
-    cases.append(inplace_update_case(VITERBI29, 128, 2048))
-    cases.append(kernels_update_case(VITERBI29, 128, 2048))
-    cases.append(cb_case(VITERBI615, 128, 2048))
-    LOG(f"compiled all in {time.time()-t0:.0f}s")
+    for name in sys.argv[1:] or ["k15"]:
+        t0 = time.time()
+        for c in CASE_SETS[name]():
+            cases.append(c)
+            LOG(f"  compiled {c[2]} ({time.time()-t0:.0f}s cum)")
     samples = {label: [] for _, _, label in cases}
     for it in range(7):
         for sample, units, label in cases:
