@@ -259,18 +259,27 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
             else:
                 # Half chunk (2**j >= CH): CH consecutive pairs map to two
                 # *contiguous* CH-row runs at distance 2**j -- reads and
-                # writes are plain slices, no interleave at all.
+                # writes are plain slices, no interleave at all.  Indices are
+                # built as iv*literal + iv*literal sums (literals multiples of
+                # the 8-sublane tile) so Mosaic's divisibility analysis can
+                # prove alignment; the shift/AND/OR form of the same address
+                # defeats it ("cannot statically prove ... multiple of 8").
+                per = (1 << j) // CH  # CH-chunks per low half-run
+
                 def chunk(c, _):
+                    c1 = c // per
+                    c0 = c - c1 * per
                     i0 = c * CH
-                    q0 = ((i0 >> j) << (j + 1)) | (i0 & ((1 << j) - 1))
+                    q0 = c1 * (2 << j) + c0 * CH
+                    w0 = c1 * ((2 << j) // 32) + c0 * (CH // 32)
                     mlo = m_scr[pl.ds(q0, CH)]
                     mhi = m_scr[pl.ds(q0 + (1 << j), CH)]
                     pens = make_pens(phase, i0, CH, coefs, base)
                     cands, decs = acs(mlo, mhi, pens)
                     m_scr[pl.ds(q0, CH)] = cands[0]
                     m_scr[pl.ds(q0 + (1 << j), CH)] = cands[1]
-                    dec_ref[t, pl.ds(q0 // 32, CH // 32)] = pack(decs[0], CH)
-                    dec_ref[t, pl.ds((q0 + (1 << j)) // 32, CH // 32)] = pack(
+                    dec_ref[t, pl.ds(w0, CH // 32)] = pack(decs[0], CH)
+                    dec_ref[t, pl.ds(w0 + ((1 << j) // 32), CH // 32)] = pack(
                         decs[1], CH)
                     return 0
 
