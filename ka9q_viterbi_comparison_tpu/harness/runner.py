@@ -47,7 +47,7 @@ DEFAULT_BATCH = {
     "viterbi47": 256,
     "viterbi29": 128,   # K=9 family peaks at one lane-group (1.0 G vs 0.47 at 512)
     "viterbi49": 128,
-    "viterbi615": 128,  # the Pallas lane width; smaller batches pad up to it
+    "viterbi615": 256,  # in-place kernel peak (VMEM caps it at 256; tools/inplace_probe.py)
     "viterbi224": 4,
 }
 

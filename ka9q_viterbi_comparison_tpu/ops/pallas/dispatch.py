@@ -42,19 +42,24 @@ def supports(code: CodeSpec) -> bool:
 
 
 def use_inplace(code: CodeSpec, batch_padded: int) -> bool:
-    """EXPERIMENTAL opt-in (``KA9Q_TPU_INPLACE=1``): route mid-size
-    trellises (K 10..15) to the in-place rotating-address kernel
-    (``inplace.py``) when its resident metric array fits VMEM.  The kernel
-    is bit-exact in interpreter mode (tests force the route), but the
-    current formulation does not yet compile on real-TPU Mosaic at K=15
-    B=128 -- the full-array strided reshapes of the low rotation phases
-    blow the register allocator (254 MiB of spill slots, VMEM OOM) -- so it
-    stays off the default path until the chunked rewrite lands."""
+    """Route mid-size trellises (K 10..15) to the in-place rotating-address
+    kernel (``inplace.py``) when its resident metric array fits VMEM and the
+    (padded) batch is large enough to win.
+
+    Measured on v5e (``tools/inplace_probe.py``, K=15 soft8): in-place
+    33.6/49.5 Msym/s at B=128/256 vs 24.7 Msym/s for the HBM-streamed
+    ``large_k2``; at B=64 in-place drops to 17.7 Msym/s (the sublane
+    dimension of the ``[S, B]`` layout is under-occupied), so small batches
+    stay on ``large_k2``.  ``KA9Q_TPU_INPLACE=0`` disables the route;
+    ``=1`` forces it at any batch (tests use this to pin coverage)."""
     import os
 
-    if os.environ.get("KA9Q_TPU_INPLACE") != "1":
+    flag = os.environ.get("KA9Q_TPU_INPLACE")
+    if flag == "0":
         return False
     if not (9 < code.K <= 15):
+        return False
+    if flag != "1" and batch_padded < 128:
         return False
     S = code.num_states
     W = max(1, S // 32)
@@ -64,7 +69,12 @@ def use_inplace(code: CodeSpec, batch_padded: int) -> bool:
         + (S // 2) * max(128, (code.K - 1) * code.R) * 4  # lane-padded e-table
         + 2 * TB * (code.R + W) * batch_padded * 4
     )
-    return need * 1.8 <= kernels.VMEM_CAP
+    # The terms above mirror the kernel's exact block specs (metrics in/out
+    # + scratch, lane-padded e-table, double-buffered symbol/decision
+    # streams), so only modest headroom is needed: 1.3x admits K=15 B=256
+    # (66 MiB, compiles and runs on v5e -- tools/inplace_probe.py) while
+    # still rejecting B=512 (>100 MiB of metrics alone).
+    return need * 1.3 <= kernels.VMEM_CAP
 
 
 def supports_chainback(code: CodeSpec) -> bool:

@@ -40,15 +40,15 @@ consumed (``t0``); metrics enter/leave in position space of ``t0 mod (K-1)``
 (the public dispatch wrapper un/re-rotates to state order at block
 boundaries -- one static gather per *call*, amortised over the block).
 
-STATUS (experimental, ``KA9Q_TPU_INPLACE=1`` to route): bit-exact in
-interpreter mode against the jnp oracle (tests force the route), but the
-current formulation does not compile on real-TPU Mosaic at K=15 B=128:
-the low rotation phases (pair stride below the 8-sublane tile) lower to
-full-array shuffles whose live ranges blow the register allocator --
-254 MiB of spill slots, VMEM OOM after a ~20 min compile -- and the
-``[nrot, S/2, R]`` phase-table layout pads R=6 lanes to 128 (56 MiB in
-VMEM).  Fix plan: pair-major ``[S/2, nrot*R]`` table and explicit
-state-chunk loops per phase to bound live ranges.
+STATUS: default route for K 10..15 at padded batch >= 128 (see
+``dispatch.use_inplace``).  The original whole-array formulation blew the
+Mosaic register allocator (254 MiB of spill slots at K=15 B=128); the
+shipped kernel bounds live ranges by processing each phase in fixed
+CH-row chunks, and the chunk addresses are expressed as
+induction-variable * tile-multiple sums so Mosaic's divisibility analysis
+can prove 8-sublane alignment (shift/AND/OR forms of the same address
+fail to compile).  Measured on v5e: 33.6/49.5 Msym/s at B=128/256 vs
+24.7 Msym/s for the HBM-streamed ``large_k2`` (``tools/inplace_probe.py``).
 """
 
 from __future__ import annotations
