@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -55,24 +56,88 @@ def _parity_fold(x):
     return x & 1
 
 
-def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt):
-    """Lb4: predecessor columns per input block (= blk / (4*32))."""
+def _parity64_np(x):
+    for shift in (32, 16, 8, 4, 2, 1):
+        x = x ^ (x >> shift)
+    return (x & 1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=8)
+def _par_tables_np(code: CodeSpec):
+    """Step-independent branch parities, laid out to match the kernel blocks.
+
+    The branch parity ``parity(pred & (poly_r >> 1))`` depends only on the
+    predecessor index -- never on the trellis step or the symbols -- so it
+    is a static table, not per-step compute.  Measured on v5e the in-kernel
+    parity folds + ``e*coef`` products were ~89 % of the two-step kernel's
+    time (``tools/k24_update_probe.py``: 2.19 ms vs 0.24 ms with penalties
+    stubbed); streaming these tables instead costs ~33 MB/pair of extra DMA
+    (<0.05 ms) and reduces each penalty to one broadcast add.
+
+    Returns ``(t0, t1)``:
+      * ``t0[g, col]`` -- bit r = parity of step-t low-half predecessor
+        ``s2 = 32*col + g`` against ``poly_r >> 1`` (cols span ``[0, C/2)``).
+      * ``t1[b1][g, c]`` -- same for step-t+1 intermediates
+        ``i = 64*c + 2g + b1`` (c spans ``[0, C/4)``).
+    """
+    S = code.num_states
+    C = S // PACK
+    g = np.arange(PACK, dtype=np.int64)[:, None]
+    t0 = np.zeros((PACK, C // 2), np.int32)
+    cols = np.arange(C // 2, dtype=np.int64)[None, :]
+    s2 = cols * PACK + g
+    c_abs = np.arange(C // 4, dtype=np.int64)[None, :]
+    t1 = np.zeros((2, PACK, C // 4), np.int32)
+    for r, p in enumerate(code.abs_polys()):
+        mask = p >> 1
+        t0 |= _parity64_np(s2 & mask) << r
+        for b1 in (0, 1):
+            i_idx = 64 * c_abs + 2 * g + b1
+            t1[b1] |= _parity64_np(i_idx & mask) << r
+    return t0, t1
+
+
+def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt,
+                 use_tables: bool):
+    """Lb4: predecessor columns per input block (= blk / (4*32)).
+
+    ``use_tables``: stream the static parity tables (``_par_tables_np``) and
+    form each branch penalty as one broadcast add over two pre-multiplied
+    ``par_r * coef_r`` products -- the measured-fast path for R<=2.  The
+    in-kernel parity-fold path is kept for higher rates (2^R combo tables
+    stop paying off)."""
     K, R = code.K, code.R
     low = numeric.soft_low
     high = numeric.soft_high
     hl = high + low
     S = code.num_states
+    abs_polys = code.abs_polys()
+    invs = code.inversions()
+    # Trace-time constant bit vectors: k_r for pen_lo at input bit b, and
+    # the high-bit flip that turns a lo-predecessor penalty into the hi one.
+    bb = [tuple(((b & p & 1) ^ (1 if inv else 0))
+                for p, inv in zip(abs_polys, invs)) for b in (0, 1)]
+    ch = tuple((p >> (K - 1)) & 1 for p in abs_polys)
 
-    def kernel(in0, in1, in2, in3, sym_ref,
-               m0_ref, m1_ref, m2_ref, m3_ref,
-               w1el_ref, w1eh_ref, w1ol_ref, w1oh_ref,
-               w2_0_ref, w2_1_ref, w2_2_ref, w2_3_ref):
+    def kernel(*refs):
+        # Layout: in0..in3, sym_ref, [t0a, t0b, t1a, t1b,] then outputs
         # in_k: [B, 32, Lb4] original metrics for columns base_k + [0, Lb4);
         # sym_ref: [B, 2*R] (symbols for steps t then t+1, flattened -- a 3-D
         # sym block trips Mosaic's broadcast lowering);
+        # t0{a,b}: [32, Lb4] parity combos for grp 0/1 predecessors;
+        # t1{a,b}: [32, Lb4] parity combos for b1 = 0/1 intermediates;
         # m*_ref: [B, 32, Lb4] final metrics, column residue * mod 4;
         # w1{e,o}{l,h}_ref: [B, Lb4] step-t words (even/odd col x group lo/hi);
         # w2_*_ref: [B, Lb4] step-t+1 words, column residue * mod 4.
+        in0, in1, in2, in3, sym_ref = refs[:5]
+        if use_tables:
+            t0a_ref, t0b_ref, t1a_ref, t1b_ref = refs[5:9]
+            outs_all = refs[9:]
+        else:
+            outs_all = refs[5:]
+        (m0_ref, m1_ref, m2_ref, m3_ref,
+         w1el_ref, w1eh_ref, w1ol_ref, w1oh_ref,
+         w2_0_ref, w2_1_ref, w2_2_ref, w2_3_ref) = outs_all
         j = pl.program_id(0)
         ins = (in0, in1, in2, in3)
         B = in0.shape[0]
@@ -108,6 +173,35 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt):
                 pen_hi = pen_hi + e_hi * coefs[step][r]
             return pen_lo, pen_hi
 
+        def table_pens(step, tbl_ref):
+            """Penalty factory over a parity-combo table block.
+
+            pen(k) = base + sum_r (par_r ^ k_r) * c_r
+                   = [base + sum_r k_r*c_r]  +  sum_r (1-2k_r) * (par_r*c_r)
+            so the [B, PACK, Lb4]-sized work is R products formed once plus
+            one signed-combo sum shared across the pens that need it."""
+            tbl = tbl_ref[:].reshape(1, PACK, Lb4)
+            prods = [((tbl >> r) & 1) * coefs[step][r] for r in range(R)]
+            combos = {}
+
+            def pen(kbits):
+                if kbits not in combos:
+                    vec = None
+                    sca = bases[step]
+                    for r in range(R):
+                        if (kbits >> r) & 1:
+                            sca = sca + coefs[step][r]
+                            vec = -prods[r] if vec is None else vec - prods[r]
+                        else:
+                            vec = prods[r] if vec is None else vec + prods[r]
+                    combos[kbits] = sca + vec
+                return combos[kbits]
+
+            return pen
+
+        def kpack(kvec):
+            return sum(k << r for r, k in enumerate(kvec))
+
         # ---- butterfly 1 (step t): two intermediate groups ----
         # group 0 (intermediates I0): preds P0 (in0) and P0 + S/2 (in2);
         # group 1 (I0 + S/2):        preds P0 + S/4 (in1) and + 3S/4 (in3).
@@ -116,10 +210,17 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt):
         for grp in (0, 1):
             lo = ins[grp][:].astype(jnp.int32)
             hi = ins[grp + 2][:].astype(jnp.int32)
-            p_base = (j + grp * NB) * Lb4  # column offset of this pred range
-            pred_idx = (p_base + c_rel) * PACK + g
+            if use_tables:
+                pen0 = table_pens(0, (t0a_ref, t0b_ref)[grp])
+            else:
+                p_base = (j + grp * NB) * Lb4  # column offset of this range
+                pred_idx = (p_base + c_rel) * PACK + g
             for b1 in (0, 1):
-                pen_lo, pen_hi = penalties(0, pred_idx, b1)
+                if use_tables:
+                    pen_lo = pen0(kpack(bb[b1]))
+                    pen_hi = pen0(kpack(tuple(k ^ c for k, c in zip(bb[b1], ch))))
+                else:
+                    pen_lo, pen_hi = penalties(0, pred_idx, b1)
                 c_lo = lo + pen_lo
                 c_hi = hi + pen_hi
                 d = c_hi < c_lo
@@ -147,11 +248,18 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt):
         cand2 = {}
         d2 = {}
         for b1 in (0, 1):
-            # Natural intermediate index: i = 64*c_abs + 2g + b1 with
-            # c_abs = j*Lb4 + c_rel (original predecessor column).
-            i_idx = 64 * (j * Lb4 + c_rel) + 2 * g + b1
+            if use_tables:
+                pen1 = table_pens(1, (t1a_ref, t1b_ref)[b1])
+            else:
+                # Natural intermediate index: i = 64*c_abs + 2g + b1 with
+                # c_abs = j*Lb4 + c_rel (original predecessor column).
+                i_idx = 64 * (j * Lb4 + c_rel) + 2 * g + b1
             for b2 in (0, 1):
-                pen_lo, pen_hi = penalties(1, i_idx, b2)
+                if use_tables:
+                    pen_lo = pen1(kpack(bb[b2]))
+                    pen_hi = pen1(kpack(tuple(k ^ c for k, c in zip(bb[b2], ch))))
+                else:
+                    pen_lo, pen_hi = penalties(1, i_idx, b2)
                 c_lo = cands[(0, b1)] + pen_lo
                 c_hi = cands[(1, b1)] + pen_hi
                 d = c_hi < c_lo
@@ -212,7 +320,8 @@ def acs_update_large2(
         mdt = jnp.dtype(metric_dtype).type
     else:
         mdt = large_k.metric_dtype_for(code, numeric, T)
-    kernel = _pair_kernel(code, numeric, Lb4, NB, mdt)
+    use_tables = R <= 2
+    kernel = _pair_kernel(code, numeric, Lb4, NB, mdt, use_tables)
     m_shape = jax.ShapeDtypeStruct((B, PACK, C // 4), mdt)
     w_shape = jax.ShapeDtypeStruct((B, C // 4), jnp.int32)
     in_spec = lambda k: pl.BlockSpec(
@@ -221,11 +330,21 @@ def acs_update_large2(
     out3 = pl.BlockSpec((B, PACK, Lb4), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
     out2 = pl.BlockSpec((B, Lb4), lambda j: (0, j), memory_space=pltpu.VMEM)
 
+    in_specs = [in_spec(0), in_spec(1), in_spec(2), in_spec(3),
+                pl.BlockSpec((B, 2 * R), lambda j: (0, 0), memory_space=pltpu.VMEM)]
+    table_args = ()
+    if use_tables:
+        t0_np, t1_np = _par_tables_np(code)
+        tspec = lambda off: pl.BlockSpec(
+            (PACK, Lb4), lambda j, off=off: (0, j + off), memory_space=pltpu.VMEM)
+        in_specs += [tspec(0), tspec(NB), tspec(0), tspec(0)]
+        t0 = jnp.asarray(t0_np)
+        table_args = (t0, t0, jnp.asarray(t1_np[0]), jnp.asarray(t1_np[1]))
+
     step_call = pl.pallas_call(
         kernel,
         grid=(NB,),
-        in_specs=[in_spec(0), in_spec(1), in_spec(2), in_spec(3),
-                  pl.BlockSpec((B, 2 * R), lambda j: (0, 0), memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=[out3] * 4 + [out2] * 8,
         out_shape=[m_shape] * 4 + [w_shape] * 8,
         compiler_params=pltpu.CompilerParams(
@@ -237,7 +356,7 @@ def acs_update_large2(
 
     def pair_body(m3, sym_pair):  # m3: [B, PACK, C] mdt; sym_pair [B, 2*R]
         m0, m1, m2, m3_, w1el, w1eh, w1ol, w1oh, w20, w21, w22, w23 = step_call(
-            m3, m3, m3, m3, sym_pair
+            m3, m3, m3, m3, sym_pair, *table_args
         )
         m_next = jnp.stack([m0, m1, m2, m3_], axis=-1).reshape(B, PACK, C)
         w1e = jnp.concatenate([w1el, w1eh], axis=-1)  # [B, C/2] word cols 2c
