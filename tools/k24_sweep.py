@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Quiet-window K=24 update sweep: steady-state pair marginals by batch.
+
+The dev rig's chip is shared; contended samples are 10-100x off.  This tool
+polls a canary (one two-step kernel launch) until its time drops under a
+threshold, then measures the steady-state scan marginal
+(t(T=32) - t(T=2)) / 15 pairs for acs_update_large2 at several batches.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from ka9q_viterbi_comparison_tpu import VITERBI224, soft8_spec
+from ka9q_viterbi_comparison_tpu.ops.pallas import large_k2
+
+LOG = lambda *a: print(*a, flush=True)
+
+code = VITERBI224
+numeric = soft8_spec(code.R)
+BATCHES = [int(b) for b in (sys.argv[1:] or ["4", "8", "16"])]
+QUIET_MS = float(os.environ.get("QUIET_MS", "6.0"))
+MAX_WAIT_S = float(os.environ.get("MAX_WAIT_S", "520"))
+
+
+rng = np.random.default_rng(0)
+
+
+def make_full(B, T):
+    """Stateful runner: each call feeds the previous call's output metrics
+    back in and rotates among distinct symbol buffers -- identical repeated
+    executions are short-circuited somewhere in this rig's transport (the
+    same effect that forced in-jit chains in harness/bench.py), so every
+    timed call must be a genuinely new computation."""
+    state = {"m": jnp.zeros((B, code.num_states), jnp.int32), "i": 0}
+    syms = [jnp.asarray(rng.integers(0, 7, size=(B, T, code.R)), jnp.int32)
+            for _ in range(4)]
+    f = jax.jit(lambda m, s: large_k2.acs_update_large2.__wrapped__(
+        code, numeric, m, s, False, "int16"))
+
+    def run():
+        m, w, off = f(state["m"], syms[state["i"] % 4])
+        state["m"] = m
+        state["i"] += 1
+        return m, w, off
+
+    return run
+
+
+def t_once(fn):
+    """block_until_ready is not a reliable sync on this rig's experimental
+    platform; a host readback of one element is (same pattern as
+    tools/inplace_probe.py's make_marginal)."""
+    t0 = time.perf_counter()
+    m, w, off = fn()
+    np.asarray(m[..., -1:])
+    return time.perf_counter() - t0
+
+
+canary = make_full(4, 2)
+t_once(canary)  # compile
+
+cases = []
+for B in BATCHES:
+    short, long = make_full(B, 2), make_full(B, 32)
+    t_once(short)
+    t_once(long)
+    cases.append((B, short, long))
+    LOG(f"  compiled B={B}")
+
+t_start = time.time()
+while True:
+    t_c = min(t_once(canary) for _ in range(3)) * 1e3
+    if t_c <= QUIET_MS:
+        LOG(f"quiet window (canary {t_c:.2f} ms)")
+        break
+    if time.time() - t_start > MAX_WAIT_S:
+        LOG(f"NO QUIET WINDOW (canary {t_c:.2f} ms after {MAX_WAIT_S:.0f}s)")
+        sys.exit(2)
+    time.sleep(10)
+
+samples = {B: [] for B, _, _ in cases}
+for it in range(9):
+    for B, short, long in cases:
+        ts = min(t_once(short), t_once(short))
+        tl = t_once(long)
+        samples[B].append(max((tl - ts) / 15.0, 1e-9))
+    # Abort sweep if contention returned mid-run.
+    if min(t_once(canary) for _ in range(2)) * 1e3 > 6 * QUIET_MS:
+        LOG("contention returned; reporting what we have")
+        break
+
+for B, _, _ in cases:
+    v = np.sort(np.array(samples[B]))
+    pair_ms = np.median(v) * 1e3
+    rate = B * code.R * 2 / np.median(v)
+    LOG(f"B={B}: pair med {pair_ms:.2f} ms (min {v[0]*1e3:.2f})"
+        f" -> {rate/1e3:.2f} ksym/s")
+LOG("ALL DONE")

@@ -117,7 +117,10 @@ samples = {name: [] for name, _ in cases}
 for it in range(iters):
     for name, fn in cases:
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        r = fn()
+        # Host readback of one element: block_until_ready is not a reliable
+        # sync on this rig's experimental platform.
+        np.asarray(jax.tree.leaves(r)[0][..., -1:])
         samples[name].append(time.perf_counter() - t0)
 for name, _ in cases:
     v = np.sort(np.array(samples[name])) * 1e3
