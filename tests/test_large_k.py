@@ -55,6 +55,36 @@ def test_large_k2_matches_jnp(code, n_bytes, rng):
     np.testing.assert_array_equal(np.asarray(words2), np.asarray(words_ref))
 
 
+def test_par_tables_match_parity_fold():
+    """The static parity tables (the R<=2 fast path's only data source for
+    branch parities) must agree with the in-kernel fold formula everywhere,
+    including the actual K=24 ICE code (ref polys viterbi224_sse2.cpp)."""
+    from ka9q_viterbi_comparison_tpu import VITERBI224
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k2
+
+    def parity(x):
+        x = np.asarray(x, np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            x = x ^ (x >> s)
+        return (x & 1).astype(np.int32)
+
+    for code in (VITERBI29, VITERBI224):
+        S = code.num_states
+        C = S // large_k2.PACK
+        t0, t1 = large_k2._par_tables_np(code)
+        g = np.arange(large_k2.PACK)[:, None]
+        # Spot-column subsets keep the K=24 check cheap.
+        cols = np.unique(np.linspace(0, C // 2 - 1, 512, dtype=np.int64))
+        c_abs = np.unique(np.linspace(0, C // 4 - 1, 512, dtype=np.int64))
+        for r, p in enumerate(code.abs_polys()):
+            np.testing.assert_array_equal(
+                (t0[:, cols] >> r) & 1, parity((cols * 32 + g) & (p >> 1)))
+            for b1 in (0, 1):
+                np.testing.assert_array_equal(
+                    (t1[b1][:, c_abs] >> r) & 1,
+                    parity((64 * c_abs + 2 * g + b1) & (p >> 1)))
+
+
 def test_large_k_blockwise_resume_narrow_safe(rng):
     """Resumed blocks whose incoming metrics carry accumulated error must not
     wrap the int16 storage path: the block-entry shift-to-zero renormalisation
