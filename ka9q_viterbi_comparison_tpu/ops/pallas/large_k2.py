@@ -68,11 +68,14 @@ def _par_tables_np(code: CodeSpec):
 
     The branch parity ``parity(pred & (poly_r >> 1))`` depends only on the
     predecessor index -- never on the trellis step or the symbols -- so it
-    is a static table, not per-step compute.  Measured on v5e the in-kernel
-    parity folds + ``e*coef`` products were ~89 % of the two-step kernel's
-    time (``tools/k24_update_probe.py``: 2.19 ms vs 0.24 ms with penalties
-    stubbed); streaming these tables instead costs ~33 MB/pair of extra DMA
-    (<0.05 ms) and reduces each penalty to one broadcast add.
+    is a static table, not per-step compute.  Streaming the tables costs
+    ~33 MB/pair of extra DMA and reduces each penalty to one broadcast add.
+    Measured on v5e (robust chained marginals, ``tools/k24_sweep.py``) the
+    table and fold paths time identically at K=24 (2.68 vs 2.68 ms/pair at
+    B=4): the two-step kernel is bound by HBM traffic plus per-pair
+    overheads, not penalty compute, so this path is kept as the default for
+    R <= 2 on net-neutral evidence (``KA9Q_TPU_LK2_TABLES=0`` selects the
+    fold path).
 
     Returns ``(t0, t1)``:
       * ``t0[g, col]`` -- bit r = parity of step-t low-half predecessor
@@ -320,7 +323,11 @@ def acs_update_large2(
         mdt = jnp.dtype(metric_dtype).type
     else:
         mdt = large_k.metric_dtype_for(code, numeric, T)
-    use_tables = R <= 2
+    import os
+
+    # KA9Q_TPU_LK2_TABLES=0 forces the in-kernel parity-fold path (A/B probe
+    # hook, tools/k24_sweep.py); tables are the default for R <= 2.
+    use_tables = R <= 2 and os.environ.get("KA9Q_TPU_LK2_TABLES") != "0"
     kernel = _pair_kernel(code, numeric, Lb4, NB, mdt, use_tables)
     m_shape = jax.ShapeDtypeStruct((B, PACK, C // 4), mdt)
     w_shape = jax.ShapeDtypeStruct((B, C // 4), jnp.int32)

@@ -35,7 +35,7 @@ MAX_WAIT_S = float(os.environ.get("MAX_WAIT_S", "520"))
 rng = np.random.default_rng(0)
 
 
-def make_full(B, T):
+def make_full(B, T, tables=True):
     """Stateful runner: each call feeds the previous call's output metrics
     back in and rotates among distinct symbol buffers -- identical repeated
     executions are short-circuited somewhere in this rig's transport (the
@@ -44,6 +44,7 @@ def make_full(B, T):
     state = {"m": jnp.zeros((B, code.num_states), jnp.int32), "i": 0}
     syms = [jnp.asarray(rng.integers(0, 7, size=(B, T, code.R)), jnp.int32)
             for _ in range(4)]
+    os.environ["KA9Q_TPU_LK2_TABLES"] = "1" if tables else "0"
     f = jax.jit(lambda m, s: large_k2.acs_update_large2.__wrapped__(
         code, numeric, m, s, False, "int16"))
 
@@ -53,6 +54,9 @@ def make_full(B, T):
         state["i"] += 1
         return m, w, off
 
+    # Force the trace NOW, while the env flag above is in effect (it is read
+    # at trace time inside acs_update_large2).
+    np.asarray(run()[0][..., -1:])
     return run
 
 
@@ -67,15 +71,13 @@ def t_once(fn):
 
 
 canary = make_full(4, 2)
-t_once(canary)  # compile
 
 cases = []
 for B in BATCHES:
-    short, long = make_full(B, 2), make_full(B, 32)
-    t_once(short)
-    t_once(long)
-    cases.append((B, short, long))
-    LOG(f"  compiled B={B}")
+    for tabs in (True, False):
+        label = f"B={B} {'tables' if tabs else 'fold'}"
+        cases.append((label, make_full(B, 2, tabs), make_full(B, 32, tabs)))
+        LOG(f"  compiled {label}")
 
 t_start = time.time()
 while True:
@@ -88,21 +90,18 @@ while True:
         sys.exit(2)
     time.sleep(10)
 
-samples = {B: [] for B, _, _ in cases}
-for it in range(9):
-    for B, short, long in cases:
+samples = {label: [] for label, _, _ in cases}
+for it in range(11):
+    for label, short, long in cases:
         ts = min(t_once(short), t_once(short))
-        tl = t_once(long)
-        samples[B].append(max((tl - ts) / 15.0, 1e-9))
-    # Abort sweep if contention returned mid-run.
-    if min(t_once(canary) for _ in range(2)) * 1e3 > 6 * QUIET_MS:
-        LOG("contention returned; reporting what we have")
-        break
+        tl = min(t_once(long), t_once(long))
+        samples[label].append(max((tl - ts) / 15.0, 1e-9))
 
-for B, _, _ in cases:
-    v = np.sort(np.array(samples[B]))
+for label, _, _ in cases:
+    B = int(label.split()[0].split("=")[1])
+    v = np.sort(np.array(samples[label]))
     pair_ms = np.median(v) * 1e3
     rate = B * code.R * 2 / np.median(v)
-    LOG(f"B={B}: pair med {pair_ms:.2f} ms (min {v[0]*1e3:.2f})"
+    LOG(f"{label}: pair med {pair_ms:.2f} ms (min {v[0]*1e3:.2f})"
         f" -> {rate/1e3:.2f} ksym/s")
 LOG("ALL DONE")
