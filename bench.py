@@ -47,11 +47,11 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    # Measured sweet spot on v5e with the static-tail kernel (marginal
-    # chained timing, tools/tb_sweep.py): throughput peaks at batch 256
-    # (6.1 Gsym/s uncontended-best; 2.8-3.2 G under shared-chip contention)
-    # and falls off both ways (128: 0.9G, 512: 2.7G, 1024: 2.5G).
-    B = args.batch or (256 if on_tpu else 8)
+    # Measured sweet spot on v5e with the in-place rotating-address kernel
+    # (chained marginals, tools/small_sweep.py): K=7 peaks at batch 512
+    # (10.25 Gsym/s under moderate shared-chip contention; 4.4 G at 256,
+    # 5.0 G at 1024).
+    B = args.batch or (512 if on_tpu else 8)
     n_bytes = args.bytes if on_tpu else min(args.bytes, 64)
     backend = args.backend
     if backend == "auto":
@@ -68,7 +68,10 @@ def main() -> None:
     # single-sample transport jitter from dominating the difference.
     sym_per_s = time_update_marginal(
         code, numeric, symbols.reshape(B, -1, code.R), backend=backend,
-        n_chain=9, iters=max(args.iters, 7),
+        # 33-call chains put the marginal signal (~27 ms at 10 Gsym/s) well
+        # above this rig's shared-chip contention spikes (10-50 ms); shorter
+        # chains underreport by whatever the contention level happens to be.
+        n_chain=33, iters=max(args.iters, 7),
     )
     print(
         json.dumps(

@@ -106,12 +106,13 @@ class BenchResult:
         }
 
 
-def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str, num_data_bits: int):
+def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str,
+                        num_data_bits: int, batch: int | None = None):
     """Return (init_fn, update_fn, chainback_fn) jittables for a backend."""
     if backend == "pallas":
         from ..ops.pallas import dispatch
 
-        return dispatch.phase_fns(code, numeric, num_data_bits)
+        return dispatch.phase_fns(code, numeric, num_data_bits, batch)
 
     if backend == "native":
         from ..utils import native as native_mod
@@ -213,7 +214,8 @@ def run_phase_bench(
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     num_data_bits = n_bytes * 8
     (init_fn, update_fn, chainback_fn, prepare_fn, make_cb_chain,
-     make_up_chain) = _phases_for_backend(code, numeric, backend, num_data_bits)
+     make_up_chain) = _phases_for_backend(code, numeric, backend,
+                                          num_data_bits, B)
     symbols = prepare_fn(symbols)  # backend-native staging, untimed
     # Warm-up / compile all three phases once.
     metrics = sync(init_fn(B))
@@ -352,15 +354,34 @@ def time_update_marginal(
     overhead (large on tunneled PJRT transports) cancels in the difference.
     """
     from ..ops.pallas import dispatch
+    from ..ops.pallas import inplace as pli
     from ..ops.pallas import kernels as plk
 
     B, T, R = symbols.shape[0], symbols.shape[1] // 1, code.R
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     T = symbols.shape[1]
 
+    Bp = -(-B // 128) * 128
     use_pallas = backend == "pallas" and dispatch.supports(code) and dispatch.on_tpu()
-    if use_pallas:
-        Bp = -(-B // 128) * 128
+    if backend == "pallas" and dispatch.on_tpu() and dispatch.use_inplace(code, Bp):
+        # In-place rotating-address family (the routed default at full lane
+        # groups): metrics [S, B], symbols [Tp, R, B], whole frames (t0=0).
+        Tp = pli.pad_time_inplace(code, T, Bp)
+        sym_native = jax.block_until_ready(
+            jnp.pad(symbols, ((0, Bp - B), (0, Tp - T), (0, 0))).transpose(1, 2, 0))
+        m0 = acs.init_metrics(code, numeric, Bp).T
+
+        def chain(n):
+            @jax.jit
+            def run(m, sym):
+                dec = None
+                for _ in range(n):
+                    m, dec = pli.acs_update_inplace(
+                        code, numeric, m, sym, T, 0, False)
+                return m, dec
+
+            return lambda: run(m0, sym_native)
+    elif use_pallas:
         TBk = plk.pick_time_block(code, Bp)
         Tp = -(-T // TBk) * TBk
         sym_native = jax.block_until_ready(
@@ -402,7 +423,7 @@ def time_update_marginal(
     margs = []
     for _ in range(max(iters, 3)):
         t1 = min(timed(c1), timed(c1))
-        tn = timed(cn)
+        tn = min(timed(cn), timed(cn))
         margs.append(max((tn - t1) / (n_chain - 1), 1e-9))
     marg = float(np.median(margs))
     return B * T * code.R / marg
@@ -419,7 +440,8 @@ def time_update_phase(
     B = symbols.shape[0]
     symbols = symbols.reshape(B, -1, code.R).astype(jnp.int32)
     T = symbols.shape[1]
-    init_fn, update_fn, _, prepare_fn, _, _ = _phases_for_backend(code, numeric, backend, 8)
+    init_fn, update_fn, _, prepare_fn, _, _ = _phases_for_backend(
+        code, numeric, backend, 8, B)
     symbols = prepare_fn(symbols)
     metrics = sync(init_fn(B))
     jax.tree.map(jax.block_until_ready, update_fn(metrics, symbols))  # compile

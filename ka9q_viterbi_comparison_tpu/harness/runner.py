@@ -43,11 +43,14 @@ __all__ = ["main", "run_matrix"]
 # Batch sizes per config: the TPU's throughput axis.  Sized so decision
 # storage stays comfortably in HBM (K=24's is ~1 MiB per frame per bit).
 DEFAULT_BATCH = {
-    "viterbi27": 256,   # measured throughput peak (tools/tb_sweep.py stages 2-4)
-    "viterbi47": 256,
-    "viterbi29": 128,   # K=9 family peaks at one lane-group (1.0 G vs 0.47 at 512)
-    "viterbi49": 128,
-    "viterbi615": 256,  # in-place kernel peak (VMEM caps it at 256; tools/inplace_probe.py)
+    # Peaks of the in-place rotating-address route (tools/small_sweep.py,
+    # chained marginals on v5e): K=7 10.25 G @ 512 (4.99 @ 1024), K=9 1.74 G
+    # @ 512, r=1/4 variants measured at the same points.
+    "viterbi27": 512,
+    "viterbi47": 512,
+    "viterbi29": 512,
+    "viterbi49": 256,
+    "viterbi615": 256,  # VMEM caps the in-place kernel at 256 (tools/inplace_probe.py)
     "viterbi224": 4,
 }
 

@@ -42,25 +42,35 @@ def supports(code: CodeSpec) -> bool:
 
 
 def use_inplace(code: CodeSpec, batch_padded: int) -> bool:
-    """Route mid-size trellises (K 10..15) to the in-place rotating-address
-    kernel (``inplace.py``) when its resident metric array fits VMEM and the
+    """Route trellises up to K=15 to the in-place rotating-address kernel
+    (``inplace.py``) when its resident metric array fits VMEM and the
     (padded) batch is large enough to win.
 
-    Measured on v5e (``tools/inplace_probe.py``, K=15 soft8): in-place
-    33.6/49.5 Msym/s at B=128/256 vs 24.7 Msym/s for the HBM-streamed
-    ``large_k2``; at B=64 in-place drops to 17.7 Msym/s (the sublane
-    dimension of the ``[S, B]`` layout is under-occupied), so small batches
-    stay on ``large_k2``.  ``KA9Q_TPU_INPLACE=0`` disables the route;
-    ``=1`` forces it at any batch (tests use this to pin coverage)."""
+    Measured on v5e (chained-marginal sweeps, ``tools/inplace_probe.py`` /
+    ``tools/small_sweep.py``, soft8): the in-place kernel beats the
+    alternatives across the whole matrix once the lane dimension is full --
+    K=7: 10.25 vs 1.64 Gsym/s at B=512; K=9: 1.74 vs 0.40 at B=512;
+    K=15: 49.5 vs 24.7 Msym/s at B=256 (large_k2).  At under-full lanes it
+    loses (K=15 B=64: 17.7 vs 24.7 Msym/s), so small batches keep the
+    previous routes.  ``KA9Q_TPU_INPLACE=0`` disables the route; ``=1``
+    forces it at any batch (tests use this to pin coverage)."""
     import os
 
     flag = os.environ.get("KA9Q_TPU_INPLACE")
     if flag == "0":
         return False
-    if not (9 < code.K <= 15):
+    if not (5 < code.K <= 15):
+        # K <= 5 trellises (S <= 16 sublane rows) are below the kernel's
+        # chunking granularity and decode fast on any path.
         return False
     if flag != "1" and batch_padded < 128:
         return False
+    return fits_inplace_vmem(code, batch_padded)
+
+
+def fits_inplace_vmem(code: CodeSpec, batch_padded: int) -> bool:
+    """Whether the in-place kernel's resident buffers fit VMEM at this
+    (padded) batch."""
     S = code.num_states
     W = max(1, S // 32)
     TB = inplace.pick_time_block_inplace(code, batch_padded)
@@ -163,9 +173,9 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray,
     """
     B, T, R = symbols.shape
     Bp = _pad_batch(B)
+    if use_inplace(code, Bp):
+        return _inplace_update(code, numeric, metrics, symbols, t0)
     if not supports(code):
-        if use_inplace(code, Bp):
-            return _inplace_update(code, numeric, metrics, symbols, t0)
         # Large-K: state-blocked kernel with HBM-resident metrics, two
         # trellis steps fused per launch.
         from . import large_k2
@@ -210,10 +220,10 @@ def chainback(code: CodeSpec, words: jnp.ndarray, num_data_bits: int, endstate=0
     kernel are packed in *position* order and must walk through
     ``chainback_inplace`` (the predicate is deterministic in (code, padded
     batch), so update and chainback always agree)."""
+    if use_inplace(code, _pad_batch(words.shape[0])):
+        return _inplace_chainback(code, words, num_data_bits, endstate)
     if not supports_chainback(code):
         return cb.chainback(code, words, num_data_bits, endstate)
-    if not supports(code) and use_inplace(code, _pad_batch(words.shape[0])):
-        return _inplace_chainback(code, words, num_data_bits, endstate)
     B, T, W = words.shape
     Bp = _pad_batch(B)
     Tp = _pad_time(code, T, Bp)
@@ -230,16 +240,16 @@ def chainback(code: CodeSpec, words: jnp.ndarray, num_data_bits: int, endstate=0
 
 def _inplace_phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
     """Native-layout lifecycle phases for the in-place rotating-address
-    family (K 10..15): metrics stay ``[S, B]`` and decisions stay
-    position-packed ``[Tp, W, B]`` between phases, mirroring the small-K
-    native path.  Whole frames from step 0 (``t0 = 0``), so entry metrics
-    in state order are already in rotation-phase-0 position space."""
+    family (K 6..15 at full lane groups): metrics stay ``[S, B]`` and
+    decisions stay position-packed ``[Tp, W, B]`` between phases.  Whole
+    frames from step 0 (``t0 = 0``), so entry metrics in state order are
+    already in rotation-phase-0 position space."""
     interp = not on_tpu()
 
     @functools.partial(jax.jit, static_argnums=0)
     def init_fn(batch):
         Bp = _pad_batch(batch)
-        if not use_inplace(code, Bp):
+        if on_tpu() and not fits_inplace_vmem(code, Bp):
             raise ValueError(
                 f"inplace kernel metrics for K={code.K} at padded batch {Bp} "
                 f"exceed VMEM; use a smaller batch (or the jnp backend)")
@@ -320,7 +330,8 @@ def _inplace_phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int)
             make_chainback_chain, make_update_chain)
 
 
-def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
+def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
+              batch: int | None = None):
     """Native-layout lifecycle phases for benchmarking: no layout conversion
     between update and chainback.
 
@@ -331,8 +342,11 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int):
     timed loop, ref: src/main.cpp:246-255).  The two ``make_*_chain(k)``
     factories build single jitted programs of k data-dependent phase
     executions (metrics feed forward; endstates vary) for marginal timing --
-    out-of-jit chains drown sub-10ms phases in this rig's dispatch jitter."""
-    if not supports(code) and use_inplace(code, LANES):
+    out-of-jit chains drown sub-10ms phases in this rig's dispatch jitter.
+
+    ``batch``: the batch the caller will run (family routing depends on it);
+    defaults to one full lane group."""
+    if use_inplace(code, _pad_batch(batch) if batch else LANES):
         return _inplace_phase_fns(code, numeric, num_data_bits)
     if not supports(code):
         # Large-K family: state-blocked update kernel (two steps fused per

@@ -68,15 +68,18 @@ def test_pallas_chainback_roundtrip(code, n_bytes, rng):
     assert count_bit_errors(np.asarray(out), data) == 0
 
 
-def test_inplace_route_matches_jnp(rng, monkeypatch):
-    """The experimental in-place rotating-address route (KA9Q_TPU_INPLACE=1)
+@pytest.mark.parametrize("code,n_bytes", [(VITERBI27, 8), (VITERBI615, 4)],
+                         ids=["viterbi27", "viterbi615"])
+def test_inplace_route_matches_jnp(code, n_bytes, rng, monkeypatch):
+    """The in-place rotating-address route (forced via KA9Q_TPU_INPLACE=1)
     must agree with the jnp path: identical metrics, identical decoded
     bytes (its decision words are position-packed, so raw words are not
-    comparable -- the traceback must route through chainback_inplace)."""
+    comparable -- the traceback must route through chainback_inplace).
+    Covers both a small-K config (default route at full lane groups) and
+    the K=15 config."""
     from ka9q_viterbi_comparison_tpu.ops import chainback as cb
 
     monkeypatch.setenv("KA9Q_TPU_INPLACE", "1")
-    code, n_bytes = VITERBI615, 4
     numeric = soft8_spec(code.R)
     B = 3
     assert dispatch.use_inplace(code, B)
@@ -93,13 +96,15 @@ def test_inplace_route_matches_jnp(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out_pl), np.asarray(out_ref))
 
 
-def test_batch_adaptive_routing(rng):
+def test_batch_adaptive_routing(rng, monkeypatch):
     """The B-dependent kernel switch (dispatch._small_k_impl): the depth-2
     fused kernel serves padded batches >= 1024, the single-step kernel below;
     and the dispatch-level output at a routed >=1024 batch is bit-identical
-    to the jnp path (pins the switch against silent regression)."""
+    to the jnp path (pins the switch against silent regression).  The
+    in-place route is disabled so the kernels2 path is the one exercised."""
     from ka9q_viterbi_comparison_tpu.ops.pallas import kernels, kernels2
 
+    monkeypatch.setenv("KA9Q_TPU_INPLACE", "0")
     assert dispatch._small_k_impl(512) is kernels.acs_update_tb
     assert dispatch._small_k_impl(1024) is kernels2.acs_update_tb2
     assert dispatch._small_k_impl(2048) is kernels2.acs_update_tb2

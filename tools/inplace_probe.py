@@ -43,13 +43,13 @@ def make_marginal(chain, n_chain=9):
 
     def sample():
         t1 = min(timed(c1), timed(c1))
-        tn = timed(cN)
+        tn = min(timed(cN), timed(cN))
         return max((tn - t1) / (n_chain - 1), 1e-9)
 
     return sample
 
 
-def inplace_update_case(code, B, Tp):
+def inplace_update_case(code, B, Tp, n_chain=9):
     numeric = soft8_spec(code.R)
     m0 = acs.init_metrics(code, numeric, B).T
     Tp = inplace.pad_time_inplace(code, Tp, B)
@@ -66,10 +66,11 @@ def inplace_update_case(code, B, Tp):
 
         return lambda: run(m0, sym)
 
-    return make_marginal(chain), B * Tp * code.R, f"inplace K={code.K} B={B} Tp={Tp}"
+    return (make_marginal(chain, n_chain), B * Tp * code.R,
+            f"inplace K={code.K} B={B} Tp={Tp}")
 
 
-def kernels_update_case(code, B, Tp):
+def kernels_update_case(code, B, Tp, n_chain=9):
     numeric = soft8_spec(code.R)
     m0 = acs.init_metrics(code, numeric, B).T
     TB = kernels.pick_time_block(code, B)
@@ -87,7 +88,8 @@ def kernels_update_case(code, B, Tp):
 
         return lambda: run(m0, sym)
 
-    return make_marginal(chain), B * Tp * code.R, f"kernels K={code.K} B={B} Tp={Tp}"
+    return (make_marginal(chain, n_chain), B * Tp * code.R,
+            f"kernels K={code.K} B={B} Tp={Tp}")
 
 
 def large2_update_case(code, B, T):
@@ -150,10 +152,10 @@ CASE_SETS = {
         inplace_update_case(VITERBI615, 256, 2048),
     ],
     "small": lambda: [
-        inplace_update_case(VITERBI27, 256, 2048),
-        kernels_update_case(VITERBI27, 256, 2048),
-        inplace_update_case(VITERBI29, 128, 2048),
-        kernels_update_case(VITERBI29, 128, 2048),
+        inplace_update_case(VITERBI27, 256, 2048, 33),
+        kernels_update_case(VITERBI27, 256, 2048, 33),
+        inplace_update_case(VITERBI29, 128, 2048, 33),
+        kernels_update_case(VITERBI29, 128, 2048, 33),
     ],
     "cb": lambda: [cb_case(VITERBI615, 128, 2048)],
 }
@@ -167,7 +169,7 @@ if __name__ == "__main__":
             cases.append(c)
             LOG(f"  compiled {c[2]} ({time.time()-t0:.0f}s cum)")
     samples = {label: [] for _, _, label in cases}
-    for it in range(7):
+    for it in range(15):
         for sample, units, label in cases:
             samples[label].append(units / sample())
     for _, units, label in cases:
