@@ -64,14 +64,13 @@ def main() -> None:
 
     # Marginal chained timing: reports true device throughput; per-call
     # dispatch overhead (milliseconds on tunneled transports) cancels.
-    # 9-link chain: the larger marginal denominator (8 extra updates) keeps
-    # single-sample transport jitter from dominating the difference.
     sym_per_s = time_update_marginal(
         code, numeric, symbols.reshape(B, -1, code.R), backend=backend,
-        # 33-call chains put the marginal signal (~27 ms at 10 Gsym/s) well
-        # above this rig's shared-chip contention spikes (10-50 ms); shorter
-        # chains underreport by whatever the contention level happens to be.
-        n_chain=33, iters=max(args.iters, 7),
+        # 129-call fori_loop chains put the marginal signal (~105 ms at
+        # 10 Gsym/s) an order of magnitude above this rig's shared-chip
+        # contention spikes (10-50 ms); shorter chains underreport by
+        # whatever the contention level happens to be.
+        n_chain=129, iters=max(args.iters, 7),
     )
     print(
         json.dumps(

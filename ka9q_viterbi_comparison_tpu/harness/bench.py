@@ -230,27 +230,39 @@ def run_phase_bench(
     # init/chainback links are independent dispatches executed in stream
     # order.  The native backend runs on the host and is timed directly.
     n_chain = 4 if backend != "native" else 1
-    # Chainback is often faster than transport jitter; its chain runs
-    # IN-jit (varied endstates defeat CSE) so the marginal is pure device
-    # time even for sub-ms phases.  Both ends of the difference are LONG
-    # chains (16 vs 128 links): per-call dispatch noise is identical on both
-    # and the 112-link denominator divides what remains (the old 1-vs-64
-    # scheme left +-50% stds on sub-ms phases).
+    # Chainback and update chains run IN-jit (varied endstates / forwarded
+    # metrics defeat CSE) so the marginal is pure device time even for
+    # sub-ms phases.  Both ends of each difference are LONG chains: per-call
+    # dispatch noise is identical on both and the link-count denominator
+    # divides what remains.  Chain lengths are ADAPTIVE: the extension
+    # ((hi-lo links) x per-link time) must clear this rig's transport-jitter
+    # spikes (10-50 ms) by an order of magnitude, or the subtraction
+    # collapses into the floor clamp -- with the in-place kernels, K<=9
+    # updates run ~0.5-1 ms per link, so a fixed 12-link extension (~10 ms)
+    # is jitter-sized and the matrix emits 1 us-floor garbage.  Lengths are
+    # probed per row and rounded up to powers of two (stable across runs ->
+    # the persistent jit cache keeps re-runs cheap; fori_loop chains make
+    # compile time k-independent).
+    EXT_TARGET_NS = 120e6  # pure-device extension to aim for per marginal
+    MAX_LINKS = 1024
+
+    up_chains: dict = {}
+    cb_chains: dict = {}
+
+    def get_up_chain(k):
+        if k not in up_chains:
+            up_chains[k] = make_up_chain(k)
+            sync(up_chains[k](metrics, symbols))  # compile outside samples
+        return up_chains[k]
+
+    def get_cb_chain(k):
+        if k not in cb_chains:
+            cb_chains[k] = make_cb_chain(k)
+            sync(cb_chains[k](words))
+        return cb_chains[k]
+
     n_cb_lo, n_cb_hi = (16, 128) if make_cb_chain is not None else (1, 1)
-    if make_cb_chain is not None:
-        cb_chain_1 = make_cb_chain(n_cb_lo)
-        cb_chain_n = make_cb_chain(n_cb_hi)
-    # Update chains likewise run in-jit (2 vs 14 links); the update phase at
-    # small batches is ~1 ms, far below out-of-jit dispatch jitter.
     n_up_lo, n_up_hi = (2, 14) if make_up_chain is not None else (1, n_chain)
-    if make_up_chain is not None:
-        up_chain_lo = make_up_chain(n_up_lo)
-        up_chain_hi = make_up_chain(n_up_hi)
-        sync(up_chain_lo(metrics, symbols))  # compile outside the samples
-        sync(up_chain_hi(metrics, symbols))
-    if make_cb_chain is not None:
-        sync(cb_chain_1(words))
-        sync(cb_chain_n(words))
 
     def run_init(k):
         t0 = time.perf_counter_ns()
@@ -263,7 +275,7 @@ def run_phase_bench(
     def run_update(k, m0):
         t0 = time.perf_counter_ns()
         if make_up_chain is not None:
-            m, w = (up_chain_lo if k == n_up_lo else up_chain_hi)(m0, symbols)
+            m, w = up_chains[k](m0, symbols)
         else:
             m, w = m0, None
             for _ in range(k):
@@ -274,13 +286,41 @@ def run_phase_bench(
     def run_chainback(k, w):
         t0 = time.perf_counter_ns()
         if make_cb_chain is not None:
-            o = (cb_chain_1 if k == n_cb_lo else cb_chain_n)(w)
+            o = cb_chains[k](w)
         else:
             o = None
             for _ in range(k):
                 o = chainback_fn(w)
         sync(o)
         return time.perf_counter_ns() - t0, o
+
+    def _pow2_at_least(n: float) -> int:
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+
+    def _probe_marginal(run, k_lo, k_hi, *args) -> float:
+        t_lo = min(run(k_lo, *args)[0], run(k_lo, *args)[0])
+        t_hi = min(run(k_hi, *args)[0], run(k_hi, *args)[0])
+        return (t_hi - t_lo) / (k_hi - k_lo)
+
+    if make_up_chain is not None:
+        get_up_chain(n_up_lo), get_up_chain(n_up_hi)
+        per_link = max(_probe_marginal(run_update, n_up_lo, n_up_hi, metrics),
+                       1_000.0)  # a floored probe maxes out the chain
+        want = n_up_lo + EXT_TARGET_NS / per_link
+        if want > n_up_hi:
+            n_up_hi = min(MAX_LINKS, _pow2_at_least(want))
+            get_up_chain(n_up_hi)
+    if make_cb_chain is not None:
+        get_cb_chain(n_cb_lo), get_cb_chain(n_cb_hi)
+        per_link = max(_probe_marginal(run_chainback, n_cb_lo, n_cb_hi, words),
+                       1_000.0)
+        want = n_cb_lo + EXT_TARGET_NS / per_link
+        if want > n_cb_hi:
+            n_cb_hi = min(MAX_LINKS, _pow2_at_least(want))
+            get_cb_chain(n_cb_hi)
 
     samples: list[PhaseSample] = []
     t_start = time.perf_counter()
@@ -374,11 +414,15 @@ def time_update_marginal(
         def chain(n):
             @jax.jit
             def run(m, sym):
-                dec = None
-                for _ in range(n):
-                    m, dec = pli.acs_update_inplace(
+                m, dec = pli.acs_update_inplace(
+                    code, numeric, m, sym, T, 0, False)
+
+                def body(_, carry):
+                    m, dec = carry
+                    return pli.acs_update_inplace(
                         code, numeric, m, sym, T, 0, False)
-                return m, dec
+
+                return jax.lax.fori_loop(0, n - 1, body, (m, dec))
 
             return lambda: run(m0, sym_native)
     elif use_pallas:
@@ -391,10 +435,13 @@ def time_update_marginal(
         def chain(n):
             @jax.jit
             def run(m, sym):
-                dec = None
-                for _ in range(n):
-                    m, dec = plk.acs_update_tb(code, numeric, m, sym, T)
-                return m, dec
+                m, dec = plk.acs_update_tb(code, numeric, m, sym, T)
+
+                def body(_, carry):
+                    m, dec = carry
+                    return plk.acs_update_tb(code, numeric, m, sym, T)
+
+                return jax.lax.fori_loop(0, n - 1, body, (m, dec))
 
             return lambda: run(m0, sym_native)
     else:
@@ -403,10 +450,14 @@ def time_update_marginal(
         def chain(n):
             @jax.jit
             def run(m, sym):
-                w = None
-                for _ in range(n):
-                    m, w, _ = acs.acs_update(code, numeric, m, sym, True)
-                return m, w
+                m, w, _ = acs.acs_update(code, numeric, m, sym, True)
+
+                def body(_, carry):
+                    m, w = carry
+                    m2, w2, _ = acs.acs_update(code, numeric, m, sym, True)
+                    return (m2, w2)
+
+                return jax.lax.fori_loop(0, n - 1, body, (m, w))
 
             return lambda: run(m0, symbols)
 
