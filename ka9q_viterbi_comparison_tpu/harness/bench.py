@@ -305,22 +305,37 @@ def run_phase_bench(
         t_hi = min(run(k_hi, *args)[0], run(k_hi, *args)[0])
         return (t_hi - t_lo) / (k_hi - k_lo)
 
+    # Per-link times above jitter spikes are trusted from a 2-link cheap
+    # probe; slow phases (K=24/K=15 jnp links run 0.4-2 s) then use the
+    # SHORTEST chain whose extension clears the target, instead of paying a
+    # fixed 14-link chain (26 s per measurement for the K=24 scan).
+    TRUST_NS = 60e6
+
+    def _size_chain(run, get_chain, k_lo, k_hi_default, *args):
+        get_chain(k_lo), get_chain(k_lo + 2)
+        per_cheap = _probe_marginal(run, k_lo, k_lo + 2, *args)
+        if per_cheap >= TRUST_NS:
+            # ext >= 2 reuses the already-compiled k_lo+2 chain.
+            ext = max(2, _pow2_at_least(EXT_TARGET_NS / per_cheap))
+            k_hi = min(k_lo + ext, k_hi_default)
+            get_chain(k_hi)
+            return k_hi
+        get_chain(k_hi_default)
+        per_link = max(
+            _probe_marginal(run, k_lo, k_hi_default, *args),
+            1_000.0)  # a floored probe maxes out the chain
+        want = k_lo + EXT_TARGET_NS / per_link
+        if want > k_hi_default:
+            k_hi_default = min(MAX_LINKS, _pow2_at_least(want))
+            get_chain(k_hi_default)
+        return k_hi_default
+
     if make_up_chain is not None:
-        get_up_chain(n_up_lo), get_up_chain(n_up_hi)
-        per_link = max(_probe_marginal(run_update, n_up_lo, n_up_hi, metrics),
-                       1_000.0)  # a floored probe maxes out the chain
-        want = n_up_lo + EXT_TARGET_NS / per_link
-        if want > n_up_hi:
-            n_up_hi = min(MAX_LINKS, _pow2_at_least(want))
-            get_up_chain(n_up_hi)
+        n_up_hi = _size_chain(run_update, get_up_chain, n_up_lo, n_up_hi,
+                              metrics)
     if make_cb_chain is not None:
-        get_cb_chain(n_cb_lo), get_cb_chain(n_cb_hi)
-        per_link = max(_probe_marginal(run_chainback, n_cb_lo, n_cb_hi, words),
-                       1_000.0)
-        want = n_cb_lo + EXT_TARGET_NS / per_link
-        if want > n_cb_hi:
-            n_cb_hi = min(MAX_LINKS, _pow2_at_least(want))
-            get_cb_chain(n_cb_hi)
+        n_cb_hi = _size_chain(run_chainback, get_cb_chain, n_cb_lo, n_cb_hi,
+                              words)
 
     samples: list[PhaseSample] = []
     t_start = time.perf_counter()
