@@ -41,8 +41,8 @@ decodes the whole batch of frames listed in the JSON; phase times subtract
 the measured per-call transport overhead of the dev rig (see
 harness/bench.py).  Families:
 
-* `tpu_pallas` — fused Pallas kernels (VMEM-resident metrics; state-blocked
-  for K=24)
+* `tpu_pallas` — fused Pallas kernels (in-place rotating-address VMEM
+  kernels for K<=15; state-blocked HBM-streamed for K=24)
 * `tpu_jnp`    — portable XLA `lax.scan` path
 * `cpu_native` — the C++ host decoder (serial per frame), the in-repo CPU
   baseline.  It runs on this rig's VM cores; compare it against the
