@@ -346,37 +346,35 @@ def run_phase_bench(
             tc, out = run_chainback(1, words)
             samples.append(PhaseSample(ti, tu, tc))
         else:
-            # Each recorded sample is the elementwise MIN over 3 consecutive
-            # marginal measurements: this rig's chip is time-shared, and
-            # contention can only ever inflate a measurement, so the min is
-            # the defensible estimate of true device time per sample (raw
-            # per-sample values are still emitted, per the reference schema).
-            best = None
+            # Contention on this time-shared chip can only ever INFLATE a raw
+            # measurement, so the defensible estimator of each chain's true
+            # device time is the MIN over repeats of that RAW endpoint -- and
+            # the marginal is formed ONCE from the two minima.  (Min-of-3 of
+            # the *difference* is wrong: a contention spike on the short-chain
+            # baseline shrinks the difference, and the min then selects
+            # exactly the most-contended baseline -- observed as impossible
+            # 137 Gbit/s chainback rates in matrix runs.)
+            raw = None
             for _ in range(3):
-                # Baselines are min-of-two: transport jitter (~10 ms) on a
-                # single t1 can exceed the whole chain extension and flip the
-                # marginal negative.
                 ti1, metrics = run_init(1)
-                ti1 = min(ti1, run_init(1)[0])
                 tin, _ = run_init(n_chain)
                 tu1, _ = run_update(n_up_lo, metrics)
-                tu1 = min(tu1, run_update(n_up_lo, metrics)[0])
                 tun, words = run_update(n_up_hi, metrics)
                 tc1, _ = run_chainback(n_cb_lo, words)
-                tc1 = min(tc1, run_chainback(n_cb_lo, words)[0])
                 tcn, out = run_chainback(n_cb_hi, words)
-                d = n_chain - 1
-                # Clamp to 1us: a marginal at or below zero means the phase
-                # is lost in transport jitter -- record the resolution floor
-                # rather than a zero that becomes an infinite rate downstream.
-                floor = 1_000
-                cur = (
-                    max((tin - ti1) // d, floor),
-                    max((tun - tu1) // (n_up_hi - n_up_lo), floor),
-                    max((tcn - tc1) // (n_cb_hi - n_cb_lo), floor),
-                )
-                best = cur if best is None else tuple(map(min, best, cur))
-            samples.append(PhaseSample(*best))
+                cur = (ti1, tin, tu1, tun, tc1, tcn)
+                raw = cur if raw is None else tuple(map(min, raw, cur))
+            ti1, tin, tu1, tun, tc1, tcn = raw
+            d = n_chain - 1
+            # Clamp to 1us: a marginal at or below zero means the phase is
+            # lost in transport jitter -- record the resolution floor rather
+            # than a zero that becomes an infinite rate downstream.
+            floor = 1_000
+            samples.append(PhaseSample(
+                max((tin - ti1) // d, floor),
+                max((tun - tu1) // (n_up_hi - n_up_lo), floor),
+                max((tcn - tc1) // (n_cb_hi - n_cb_lo), floor),
+            ))
 
     # The timing chain's last link traces back from a nonzero endstate (CSE
     # defeat); recompute the real output for the correctness check.
