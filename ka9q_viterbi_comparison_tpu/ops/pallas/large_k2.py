@@ -101,14 +101,22 @@ def _par_tables_np(code: CodeSpec):
 
 
 def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt,
-                 use_tables: bool):
+                 use_tables: bool, residue_in: bool = False):
     """Lb4: predecessor columns per input block (= blk / (4*32)).
 
     ``use_tables``: stream the static parity tables (``_par_tables_np``) and
     form each branch penalty as one broadcast add over two pre-multiplied
     ``par_r * coef_r`` products -- the measured-fast path for R<=2.  The
     in-kernel parity-fold path is kept for higher rates (2^R combo tables
-    stop paying off)."""
+    stop paying off).
+
+    ``residue_in``: the four predecessor ranges arrive as 4x4 mod-4
+    column-residue pieces (the kernel's own OUTPUT representation) and the
+    4-way lane interleave to natural column order happens here in VMEM --
+    so the scan carry between pairs is the residue tuple itself and the
+    whole-array XLA stack/reshape per pair (an extra HBM read+write of the
+    16 MiB-per-frame metric tensor, ~a doubling of the algorithmic
+    traffic) disappears."""
     K, R = code.K, code.R
     low = numeric.soft_low
     high = numeric.soft_high
@@ -132,18 +140,35 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt,
         # m*_ref: [B, 32, Lb4] final metrics, column residue * mod 4;
         # w1{e,o}{l,h}_ref: [B, Lb4] step-t words (even/odd col x group lo/hi);
         # w2_*_ref: [B, Lb4] step-t+1 words, column residue * mod 4.
-        in0, in1, in2, in3, sym_ref = refs[:5]
-        if use_tables:
-            t0a_ref, t0b_ref, t1a_ref, t1b_ref = refs[5:9]
-            outs_all = refs[9:]
+        if residue_in:
+            pieces = refs[:16]  # k-major: pieces[4*k + o], o = col mod 4
+            sym_ref = refs[16]
+            rest = refs[17:]
+            B = pieces[0].shape[0]
+
+            def get_in(k):
+                ps = [pieces[4 * k + o][:].astype(jnp.int32)
+                      for o in range(4)]
+                # In-VMEM lane interleave back to natural column order
+                # (natural col = 4*c' + o).
+                return jnp.stack(ps, axis=-1).reshape(B, PACK, Lb4)
         else:
-            outs_all = refs[5:]
+            in0, in1, in2, in3, sym_ref = refs[:5]
+            rest = refs[5:]
+            ins = (in0, in1, in2, in3)
+            B = in0.shape[0]
+
+            def get_in(k):
+                return ins[k][:].astype(jnp.int32)
+        if use_tables:
+            t0a_ref, t0b_ref, t1a_ref, t1b_ref = rest[:4]
+            outs_all = rest[4:]
+        else:
+            outs_all = rest
         (m0_ref, m1_ref, m2_ref, m3_ref,
          w1el_ref, w1eh_ref, w1ol_ref, w1oh_ref,
          w2_0_ref, w2_1_ref, w2_2_ref, w2_3_ref) = outs_all
         j = pl.program_id(0)
-        ins = (in0, in1, in2, in3)
-        B = in0.shape[0]
 
         g = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, Lb4), 1)
         c_rel = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, Lb4), 2)
@@ -211,8 +236,8 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt,
         cands = {}   # (grp, b1) -> [B, PACK, Lb4] (int32 compute)
         d1 = {}
         for grp in (0, 1):
-            lo = ins[grp][:].astype(jnp.int32)
-            hi = ins[grp + 2][:].astype(jnp.int32)
+            lo = get_in(grp)
+            hi = get_in(grp + 2)
             if use_tables:
                 pen0 = table_pens(0, (t0a_ref, t0b_ref)[grp])
             else:
@@ -328,7 +353,19 @@ def acs_update_large2(
     # KA9Q_TPU_LK2_TABLES=0 forces the in-kernel parity-fold path (A/B probe
     # hook, tools/k24_sweep.py); tables are the default for R <= 2.
     use_tables = R <= 2 and os.environ.get("KA9Q_TPU_LK2_TABLES") != "0"
-    kernel = _pair_kernel(code, numeric, Lb4, NB, mdt, use_tables)
+    # KA9Q_TPU_LK2_RESIDUE=1 carries the metric tensor between pairs in the
+    # kernel's own mod-4 column-residue representation, which would remove
+    # the whole-array XLA re-interleave per pair (an extra HBM read+write of
+    # 16 MiB x B, ~doubling the algorithmic metric traffic).  It is
+    # bit-identical in interpret mode (tests/test_large_k.py) but BLOCKED on
+    # hardware: Mosaic cannot lower the in-VMEM 4-way lane interleave the
+    # kernel prologue needs ("infer-vector-layout: unsupported shape cast",
+    # vector<4x32x256x4xi32> -> vector<4x32x1024xi32>), and every variant of
+    # the column bijection puts the same 4:1 lane shuffle on either the read
+    # or the write side.  Default off until the toolchain supports it.
+    use_residue = (Lb4 % 4 == 0
+                   and os.environ.get("KA9Q_TPU_LK2_RESIDUE", "0") == "1")
+    kernel = _pair_kernel(code, numeric, Lb4, NB, mdt, use_tables, use_residue)
     m_shape = jax.ShapeDtypeStruct((B, PACK, C // 4), mdt)
     w_shape = jax.ShapeDtypeStruct((B, C // 4), jnp.int32)
     in_spec = lambda k: pl.BlockSpec(
@@ -337,8 +374,19 @@ def acs_update_large2(
     out3 = pl.BlockSpec((B, PACK, Lb4), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
     out2 = pl.BlockSpec((B, Lb4), lambda j: (0, j), memory_space=pltpu.VMEM)
 
-    in_specs = [in_spec(0), in_spec(1), in_spec(2), in_spec(3),
-                pl.BlockSpec((B, 2 * R), lambda j: (0, 0), memory_space=pltpu.VMEM)]
+    sym_spec = pl.BlockSpec((B, 2 * R), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    if use_residue:
+        # 4 predecessor ranges x 4 residue pieces; the residue-o piece of
+        # natural columns [(j+k*NB)*Lb4, +Lb4) is the contiguous residue-col
+        # block (j+k*NB) of width Lb4/4 (same index map for every o).
+        in_spec_res = lambda k: pl.BlockSpec(
+            (B, PACK, Lb4 // 4), lambda j, k=k: (0, 0, j + k * NB),
+            memory_space=pltpu.VMEM)
+        in_specs = [in_spec_res(k) for k in range(4) for _o in range(4)]
+        in_specs.append(sym_spec)
+    else:
+        in_specs = [in_spec(0), in_spec(1), in_spec(2), in_spec(3), sym_spec]
     table_args = ()
     if use_tables:
         t0_np, t1_np = _par_tables_np(code)
@@ -361,21 +409,38 @@ def acs_update_large2(
         interpret=interpret,
     )
 
-    def pair_body(m3, sym_pair):  # m3: [B, PACK, C] mdt; sym_pair [B, 2*R]
-        m0, m1, m2, m3_, w1el, w1eh, w1ol, w1oh, w20, w21, w22, w23 = step_call(
-            m3, m3, m3, m3, sym_pair, *table_args
-        )
-        m_next = jnp.stack([m0, m1, m2, m3_], axis=-1).reshape(B, PACK, C)
+    def words_out(w1el, w1eh, w1ol, w1oh, w20, w21, w22, w23):
         w1e = jnp.concatenate([w1el, w1eh], axis=-1)  # [B, C/2] word cols 2c
         w1o = jnp.concatenate([w1ol, w1oh], axis=-1)
         w1 = jnp.stack([w1e, w1o], axis=-1).reshape(B, C)
         w2 = jnp.stack([w20, w21, w22, w23], axis=-1).reshape(B, C)
-        return m_next, jnp.stack([w1, w2], axis=0)  # [2, B, C]
+        return jnp.stack([w1, w2], axis=0)  # [2, B, C]
 
     T2 = T // 2
     m3 = metrics.reshape(B, C, PACK).transpose(0, 2, 1).astype(mdt)
     sym_pairs = symbols[:, : 2 * T2].reshape(B, T2, 2 * R).transpose(1, 0, 2)
-    m3, words2 = jax.lax.scan(pair_body, m3, sym_pairs)
+
+    if use_residue:
+        # Scan carry = the kernel's own residue-split output representation;
+        # metrics never round-trip through an XLA re-interleave between
+        # pairs (the interleave happens in-kernel, in VMEM).
+        def pair_body(m_res, sym_pair):
+            args = [m_res[o] for _k in range(4) for o in range(4)]
+            m0, m1, m2, m3_, *ws = step_call(*args, sym_pair, *table_args)
+            return (m0, m1, m2, m3_), words_out(*ws)
+
+        m_res0 = tuple(m3[:, :, o::4] for o in range(4))
+        m_res, words2 = jax.lax.scan(pair_body, m_res0, sym_pairs)
+        m3 = jnp.stack(m_res, axis=-1).reshape(B, PACK, C)
+    else:
+        def pair_body(m3, sym_pair):  # m3: [B, PACK, C] mdt
+            m0, m1, m2, m3_, *ws = step_call(
+                m3, m3, m3, m3, sym_pair, *table_args
+            )
+            m_next = jnp.stack([m0, m1, m2, m3_], axis=-1).reshape(B, PACK, C)
+            return m_next, words_out(*ws)
+
+        m3, words2 = jax.lax.scan(pair_body, m3, sym_pairs)
     # words2: [T2, 2, B, C] -> [T, B, C] (step order t, t+1 per pair)
     words = words2.reshape(T2 * 2, B, C)
 

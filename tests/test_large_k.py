@@ -132,3 +132,27 @@ def test_large_k2_odd_tail(rng):
     m2, words2, _ = large_k2.acs_update_large2(code, numeric, m0, syms, True)
     np.testing.assert_array_equal(np.asarray(m2), np.asarray(m_ref))
     np.testing.assert_array_equal(np.asarray(words2), np.asarray(words_ref))
+
+
+def test_large_k2_residue_carry_matches_baseline(rng, monkeypatch):
+    """The residue-split scan carry (KA9Q_TPU_LK2_RESIDUE=1, the default:
+    metrics stay in the kernel's mod-4 column-residue output representation
+    between pairs, interleaved back to natural order in VMEM) must produce
+    bit-identical metrics/words/offset to the whole-array natural-order
+    carry it replaces."""
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k2
+
+    code, numeric = VITERBI29, soft8_spec(2)
+    B = 2
+    data = rng.integers(0, 256, size=(B, 12), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+    m0 = acs.init_metrics(code, numeric, B)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("KA9Q_TPU_LK2_RESIDUE", flag)
+        m, w, off = large_k2.acs_update_large2.__wrapped__(
+            code, numeric, m0, syms, True, None)
+        outs[flag] = (np.asarray(m), np.asarray(w), np.asarray(off))
+    for a, b in zip(outs["0"], outs["1"]):
+        np.testing.assert_array_equal(a, b)
