@@ -338,6 +338,7 @@ def run_phase_bench(
                               words)
 
     samples: list[PhaseSample] = []
+    floor_retries = 6  # failed-marginal re-measures before giving up
     t_start = time.perf_counter()
     while (time.perf_counter() - t_start) < sampling_time or len(samples) < minimum_samples:
         if n_chain == 1:
@@ -366,14 +367,31 @@ def run_phase_bench(
                 raw = cur if raw is None else tuple(map(min, raw, cur))
             ti1, tin, tu1, tun, tc1, tcn = raw
             d = n_chain - 1
-            # Clamp to 1us: a marginal at or below zero means the phase is
-            # lost in transport jitter -- record the resolution floor rather
-            # than a zero that becomes an infinite rate downstream.
             floor = 1_000
+            mu = (tun - tu1) // (n_up_hi - n_up_lo)
+            mc = (tcn - tc1) // (n_cb_hi - n_cb_lo)
+            # A device marginal at or below zero means a jitter spike ate the
+            # whole chain extension: the MEASUREMENT failed, the phase did not
+            # run in 0 ns.  Emitting the 1 us resolution floor instead poisons
+            # the row downstream (one floored sample in 8 tabulates as an
+            # impossible ~100x-mean rate with std > mean).  So a floored
+            # update/chainback marginal DISCARDS the sample and doubles the
+            # offending chain (a longer extension rises above the spikes);
+            # only after the growth budget is exhausted is the floor recorded,
+            # keeping termination guaranteed.
+            if (mu <= 0 or mc <= 0) and floor_retries > 0:
+                floor_retries -= 1
+                if mu <= 0 and n_up_hi < MAX_LINKS:
+                    n_up_hi = min(2 * n_up_hi, MAX_LINKS)
+                    get_up_chain(n_up_hi)
+                if mc <= 0 and n_cb_hi < MAX_LINKS:
+                    n_cb_hi = min(2 * n_cb_hi, MAX_LINKS)
+                    get_cb_chain(n_cb_hi)
+                continue
             samples.append(PhaseSample(
                 max((tin - ti1) // d, floor),
-                max((tun - tu1) // (n_up_hi - n_up_lo), floor),
-                max((tcn - tc1) // (n_cb_hi - n_cb_lo), floor),
+                max(mu, floor),
+                max(mc, floor),
             ))
 
     # The timing chain's last link traces back from a nonzero endstate (CSE
