@@ -54,6 +54,7 @@ fail to compile).  Measured on v5e: 33.6/49.5 Msym/s at B=128/256 vs
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -157,6 +158,39 @@ def _pack_weights(B: int) -> jnp.ndarray:
 CHUNK = 512
 
 
+def _chunk_unroll() -> int:
+    """Unroll factor for the per-step chunk loops (trace-time env knob).
+
+    Chunk iterations touch disjoint state rows, so unrolling exposes
+    instruction-level parallelism across chunks without growing any live
+    range beyond ``unroll`` chunks (the register-spill failure mode was the
+    *whole-array* formulation, K-1 phases x 32 chunks live at once)."""
+    return max(1, int(os.environ.get("KA9Q_TPU_INPLACE_UNROLL", "1")))
+
+
+def _loop_chunks(n: int, body) -> None:
+    """fori_loop over ``n`` chunk bodies, manually unrolled by the env knob
+    (Mosaic's own ``unroll=`` only lowers 1 or num_steps, so partial unroll
+    replicates the body with ``cc*u + k`` indices instead)."""
+    u = min(_chunk_unroll(), n)
+    while n % u:
+        u -= 1
+    if u <= 1:
+        jax.lax.fori_loop(0, n, body, 0, unroll=False)
+        return
+    if u == n:
+        for c in range(n):
+            body(c, 0)
+        return
+
+    def outer(cc, _):
+        for k in range(u):
+            body(cc * u + k, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n // u, outer, 0, unroll=False)
+
+
 def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                         n_last: int, p0: int):
     S = code.num_states
@@ -255,7 +289,7 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                     dec_ref[t, pl.ds(c * (CH // 32), CH // 32)] = pack(dec, CH)
                     return 0
 
-                jax.lax.fori_loop(0, S // CH, chunk, 0, unroll=False)
+                _loop_chunks(S // CH, chunk)
             else:
                 # Half chunk (2**j >= CH): CH consecutive pairs map to two
                 # *contiguous* CH-row runs at distance 2**j -- reads and
@@ -283,7 +317,7 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                         decs[1], CH)
                     return 0
 
-                jax.lax.fori_loop(0, S2 // CH, chunk, 0, unroll=False)
+                _loop_chunks(S2 // CH, chunk)
 
         def group(g, _):
             for u in range(nrot):
