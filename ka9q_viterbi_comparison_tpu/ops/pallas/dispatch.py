@@ -16,6 +16,7 @@ with no transposes between phases -- the configuration the benchmark measures.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -351,32 +352,55 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
     if not supports(code):
         # Large-K family: state-blocked update kernel (two steps fused per
         # launch); traceback via the batched pallas kernel while its word
-        # blocks fit VMEM (K <= 15), else the jnp walk.
+        # blocks fit VMEM (K <= 15).  Above that (K=24) the walk is bound by
+        # serialized dependent fetches; with KA9Q_TPU_RADIX_CB=1 the update
+        # phase additionally builds radix-2^w path-field tables
+        # (ops/radix.py) and the traceback retires w=8 steps per fetch
+        # (measured 12.9 Mbit/s walk at B=4 vs 0.43 M for the plain walk).
+        # Off by default: the current table repack is XLA-relayout-bound
+        # (~30x the update kernel's own time), so riding it on the update
+        # phase is not yet a net win -- see tools/k24_radix_probe*.py.
         from . import large_k2
+        from .. import radix as rx
 
         interp_lg = not on_tpu()
+        use_radix = (not supports_chainback(code)
+                     and os.environ.get("KA9Q_TPU_RADIX_CB", "0") == "1")
         cb_fn = chainback if supports_chainback(code) else cb.chainback
 
         def init_fn(batch):
             return acs.init_metrics(code, numeric, batch)
 
         def update_fn(metrics, symbols):
-            return large_k2.acs_update_large2(code, numeric, metrics, symbols, interp_lg)
+            m, w, off = large_k2.acs_update_large2(
+                code, numeric, metrics, symbols, interp_lg)
+            if use_radix:
+                return m, (w, rx.build_radix_tables(code, w)), off
+            return m, w, off
 
         def chainback_fn(words):
+            if use_radix:
+                w, tabs = words
+                return rx.chainback_radix(code, w, tabs, num_data_bits)
             return cb_fn(code, words, num_data_bits)
 
         def prepare_fn(symbols):
             return jax.block_until_ready(symbols.astype(jnp.int32))
 
+        def _cb_impl(words, endstate):
+            if use_radix:
+                w, tabs = words
+                return rx.chainback_radix(code, w, tabs, num_data_bits, endstate)
+            return cb_fn(code, words, num_data_bits, endstate)
+
         def make_chainback_chain(k):
             @jax.jit
             def run(words):
-                out0 = cb_fn(code, words, num_data_bits, jnp.int32(0))
+                out0 = _cb_impl(words, jnp.int32(0))
 
                 def body(_, carry):
                     es, prev = carry
-                    out = cb_fn(code, words, num_data_bits, es)
+                    out = _cb_impl(words, es)
                     return out[0, -1].astype(jnp.int32), out
 
                 _, out = jax.lax.fori_loop(
@@ -387,15 +411,17 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
             return run
 
         def make_update_chain(k):
+            # Each link re-runs the FULL update phase -- kernel update plus
+            # (for the radix route) the table repack: tables are a loop
+            # carry, so per-iteration repack cannot be dead-coded and the
+            # marginal prices what update_fn really does.
             @jax.jit
             def run(m, symbols):
-                m, w, _ = large_k2.acs_update_large2(
-                    code, numeric, m, symbols, interp_lg)
+                m, w, _ = update_fn(m, symbols)
 
                 def body(_, carry):
                     m, w = carry
-                    m2, w2, _ = large_k2.acs_update_large2(
-                        code, numeric, m, symbols, interp_lg)
+                    m2, w2, _ = update_fn(m, symbols)
                     return (m2, w2)
 
                 return jax.lax.fori_loop(0, k - 1, body, (m, w))
