@@ -352,45 +352,54 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
     if not supports(code):
         # Large-K family: state-blocked update kernel (two steps fused per
         # launch); traceback via the batched pallas kernel while its word
-        # blocks fit VMEM (K <= 15).  Above that (K=24) the walk is bound by
-        # serialized dependent fetches; with KA9Q_TPU_RADIX_CB=1 the update
-        # phase additionally builds radix-2^w path-field tables
-        # (ops/radix.py) and the traceback retires w=8 steps per fetch
-        # (measured 12.9 Mbit/s walk at B=4 vs 0.43 M for the plain walk).
-        # Off by default: the current table repack is XLA-relayout-bound
-        # (~30x the update kernel's own time), so riding it on the update
-        # phase is not yet a net win -- see tools/k24_radix_probe*.py.
+        # blocks fit VMEM (K <= 15).  Above that (K=24) the plain walk is
+        # bound by serialized dependent fetches (~1.2 us per 4-byte word,
+        # one per frame per trellis step), so the update phase additionally
+        # builds the bit-plane radix tables (ops/radix_planes.py: G_2 free
+        # from the kernel, G_4/G_8 word-parallel combines, byte-packed F_8)
+        # and the traceback retires 8 steps per single-word fetch --
+        # measured 17.3 Mbit/s aggregate at B=4 vs 0.37 M for the plain
+        # walk, repack marginal ~37 ms riding a ~130 ms update
+        # (tools/k24_plane_probe.py).
         from . import large_k2
-        from .. import radix as rx
+        from .. import radix_planes as rp
 
         interp_lg = not on_tpu()
-        use_radix = (not supports_chainback(code)
-                     and os.environ.get("KA9Q_TPU_RADIX_CB", "0") == "1")
+        use_planes = (not supports_chainback(code)
+                      and code.K - 1 >= rp.MIN_N)
+        # Even anchor: the kernel's G_2 pairs anchor at even t; the largest
+        # even value <= K-1 keeps every kept data bit walked while skipping
+        # the most discarded initial-state steps.
+        anchor = (code.K - 1) & ~1 if use_planes else 0
         cb_fn = chainback if supports_chainback(code) else cb.chainback
 
         def init_fn(batch):
             return acs.init_metrics(code, numeric, batch)
 
         def update_fn(metrics, symbols):
+            if use_planes:
+                m, w, g2k, off = large_k2.acs_update_large2(
+                    code, numeric, metrics, symbols, interp_lg, None, True)
+                T = w.shape[1]
+                n2 = (T - anchor) // 2
+                g2 = g2k[:, anchor // 2 : anchor // 2 + n2]
+                tabs = rp.build_plane_tables(code, w, anchor, g2)
+                return m, (w, tabs), off
             m, w, off = large_k2.acs_update_large2(
                 code, numeric, metrics, symbols, interp_lg)
-            if use_radix:
-                return m, (w, rx.build_radix_tables(code, w)), off
             return m, w, off
 
         def chainback_fn(words):
-            if use_radix:
-                w, tabs = words
-                return rx.chainback_radix(code, w, tabs, num_data_bits)
-            return cb_fn(code, words, num_data_bits)
+            return _cb_impl(words, jnp.int32(0))
 
         def prepare_fn(symbols):
             return jax.block_until_ready(symbols.astype(jnp.int32))
 
         def _cb_impl(words, endstate):
-            if use_radix:
+            if use_planes:
                 w, tabs = words
-                return rx.chainback_radix(code, w, tabs, num_data_bits, endstate)
+                return rp.chainback_planes(code, w, tabs, num_data_bits,
+                                           endstate, anchor)
             return cb_fn(code, words, num_data_bits, endstate)
 
         def make_chainback_chain(k):
@@ -412,7 +421,7 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
 
         def make_update_chain(k):
             # Each link re-runs the FULL update phase -- kernel update plus
-            # (for the radix route) the table repack: tables are a loop
+            # (for the plane route) the table repack: tables are a loop
             # carry, so per-iteration repack cannot be dead-coded and the
             # marginal prices what update_fn really does.
             @jax.jit

@@ -101,7 +101,8 @@ def _par_tables_np(code: CodeSpec):
 
 
 def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt,
-                 use_tables: bool, residue_in: bool = False):
+                 use_tables: bool, residue_in: bool = False,
+                 want_g2: bool = False):
     """Lb4: predecessor columns per input block (= blk / (4*32)).
 
     ``use_tables``: stream the static parity tables (``_par_tables_np``) and
@@ -167,7 +168,8 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt,
             outs_all = rest
         (m0_ref, m1_ref, m2_ref, m3_ref,
          w1el_ref, w1eh_ref, w1ol_ref, w1oh_ref,
-         w2_0_ref, w2_1_ref, w2_2_ref, w2_3_ref) = outs_all
+         w2_0_ref, w2_1_ref, w2_2_ref, w2_3_ref) = outs_all[:12]
+        g2_refs = outs_all[12:] if want_g2 else None
         j = pl.program_id(0)
 
         g = jax.lax.broadcasted_iota(jnp.int32, (1, PACK, Lb4), 1)
@@ -309,17 +311,32 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt,
             outs[o][:] = stacked.astype(mdt)
             # Words: bit 4q + k of word col 4c + o.
             acc = None
+            accg = None
             for k in range(4):
-                piece = d2[k][:, rows, :] * jax.lax.shift_left(
-                    jnp.ones((1, 8, 1), jnp.int32), 4 * q8 + k
-                )
+                wbit = jax.lax.shift_left(jnp.ones((1, 8, 1), jnp.int32),
+                                          4 * q8 + k)
+                piece = d2[k][:, rows, :] * wbit
                 acc = piece if acc is None else acc + piece
+                if want_g2:
+                    # Radix G_2 plane (ops.radix_planes): the step-t decision
+                    # at the step-t+1 survivor's predecessor i = f>>1 with
+                    # top bit d2 -- in kernel coordinates that is exactly
+                    # d1[(d2, b1)] at the same (g, c): pure elementwise.
+                    b1 = k >> 1
+                    dlo = d1[(0, b1)][:, rows, :]
+                    dhi = d1[(1, b1)][:, rows, :]
+                    sel = d2[k][:, rows, :]
+                    gbit = dlo + (dhi - dlo) * sel
+                    pg = gbit * wbit
+                    accg = pg if accg is None else accg + pg
             wouts[o][:] = acc.sum(axis=1)
+            if want_g2:
+                g2_refs[o][:] = accg.sum(axis=1)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
 def acs_update_large2(
     code: CodeSpec,
     numeric: NumericSpec,
@@ -327,11 +344,17 @@ def acs_update_large2(
     symbols: jnp.ndarray,
     interpret: bool = False,
     metric_dtype: str | None = None,
+    want_g2: bool = False,
 ):
     """Two-steps-per-launch ACS; same contract as ``acs_update_large``.
 
     Returns ``(metrics [B, S] int32, words [B, T, W] uint32, offset [B]
-    int32)``; ``offset`` is the block-entry renormalisation shift.
+    int32)``; ``offset`` is the block-entry renormalisation shift.  With
+    ``want_g2`` the tuple gains a fourth element ``g2 [B, T//2, W]`` uint32
+    -- the radix G_2 bit plane per step pair (``ops.radix_planes``), packed
+    exactly like the step-t+1 decision words; both steps' decisions are
+    already in VMEM in the right coordinates, so it costs one elementwise
+    select and W/2 extra words of DMA per pair.
     """
     B, S = metrics.shape
     _, T, R = symbols.shape
@@ -365,9 +388,11 @@ def acs_update_large2(
     # or the write side.  Default off until the toolchain supports it.
     use_residue = (Lb4 % 4 == 0
                    and os.environ.get("KA9Q_TPU_LK2_RESIDUE", "0") == "1")
-    kernel = _pair_kernel(code, numeric, Lb4, NB, mdt, use_tables, use_residue)
+    kernel = _pair_kernel(code, numeric, Lb4, NB, mdt, use_tables, use_residue,
+                          want_g2)
     m_shape = jax.ShapeDtypeStruct((B, PACK, C // 4), mdt)
     w_shape = jax.ShapeDtypeStruct((B, C // 4), jnp.int32)
+    n_wouts = 12 if want_g2 else 8
     in_spec = lambda k: pl.BlockSpec(
         (B, PACK, Lb4), lambda j, k=k: (0, 0, j + k * NB), memory_space=pltpu.VMEM
     )
@@ -400,8 +425,8 @@ def acs_update_large2(
         kernel,
         grid=(NB,),
         in_specs=in_specs,
-        out_specs=[out3] * 4 + [out2] * 8,
-        out_shape=[m_shape] * 4 + [w_shape] * 8,
+        out_specs=[out3] * 4 + [out2] * n_wouts,
+        out_shape=[m_shape] * 4 + [w_shape] * n_wouts,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -409,12 +434,15 @@ def acs_update_large2(
         interpret=interpret,
     )
 
-    def words_out(w1el, w1eh, w1ol, w1oh, w20, w21, w22, w23):
+    def words_out(w1el, w1eh, w1ol, w1oh, w20, w21, w22, w23, *g2s):
         w1e = jnp.concatenate([w1el, w1eh], axis=-1)  # [B, C/2] word cols 2c
         w1o = jnp.concatenate([w1ol, w1oh], axis=-1)
         w1 = jnp.stack([w1e, w1o], axis=-1).reshape(B, C)
         w2 = jnp.stack([w20, w21, w22, w23], axis=-1).reshape(B, C)
-        return jnp.stack([w1, w2], axis=0)  # [2, B, C]
+        pair = jnp.stack([w1, w2], axis=0)  # [2, B, C]
+        if not g2s:
+            return pair, None
+        return pair, jnp.stack(list(g2s), axis=-1).reshape(B, C)
 
     T2 = T // 2
     m3 = metrics.reshape(B, C, PACK).transpose(0, 2, 1).astype(mdt)
@@ -430,7 +458,7 @@ def acs_update_large2(
             return (m0, m1, m2, m3_), words_out(*ws)
 
         m_res0 = tuple(m3[:, :, o::4] for o in range(4))
-        m_res, words2 = jax.lax.scan(pair_body, m_res0, sym_pairs)
+        m_res, (words2, g2w) = jax.lax.scan(pair_body, m_res0, sym_pairs)
         m3 = jnp.stack(m_res, axis=-1).reshape(B, PACK, C)
     else:
         def pair_body(m3, sym_pair):  # m3: [B, PACK, C] mdt
@@ -440,7 +468,7 @@ def acs_update_large2(
             m_next = jnp.stack([m0, m1, m2, m3_], axis=-1).reshape(B, PACK, C)
             return m_next, words_out(*ws)
 
-        m3, words2 = jax.lax.scan(pair_body, m3, sym_pairs)
+        m3, (words2, g2w) = jax.lax.scan(pair_body, m3, sym_pairs)
     # words2: [T2, 2, B, C] -> [T, B, C] (step order t, t+1 per pair)
     words = words2.reshape(T2 * 2, B, C)
 
@@ -455,4 +483,8 @@ def acs_update_large2(
         )
         all_words = jnp.concatenate([all_words, w_tail], axis=1)
         entry_shift = entry_shift + tail_shift
+    if want_g2:
+        g2_words = jax.lax.bitcast_convert_type(
+            g2w.transpose(1, 0, 2), jnp.uint32)  # [B, T//2, C]
+        return m_final, all_words, g2_words, entry_shift
     return m_final, all_words, entry_shift

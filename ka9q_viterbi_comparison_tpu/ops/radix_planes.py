@@ -1,0 +1,313 @@
+"""Bit-plane radix traceback: one dependent fetch per 8 trellis steps.
+
+The K=24 traceback is bound by serialized dependent-fetch latency (~1.2 us
+per fetch, one per frame per trellis step -- RESULTS.md), so the fix is to
+retire more steps per fetch.  ``ops.radix`` proved the walk side (width-8
+path fields) but its uint8 per-state tables made the repack XLA-relayout
+bound (~30x the update kernel's own time).  This module is the production
+design; it removes the repack bottleneck with three structural moves:
+
+1. **Telescoping fields.**  The width-8 field at state ``s`` for window
+   ``[t0, t0+8)`` decomposes as
+
+       F_8(s) = G_8(s)<<4 | G_4(s)<<2 | G_2(s)<<1 | D(t0+7, s)
+
+   where each ``G_{2v}(s) = F_v^{lo}[pred_v(s)]`` is only the *newly
+   prepended* half, gathered from the earlier (lo) sub-window at the
+   predecessor the later (hi) half walks to; the hi half contributes its own
+   field *at the same state* ``s``.  Total table storage is the packed
+   decision-bit storage again (1+1+2+4 bits per state per 8 steps), and
+   every level is consumed at one common index.
+
+2. **Residue-sliced bit-plane combines.**  G-levels live as canonical packed
+   bit planes (bit ``s & 31`` of word ``s >> 5`` -- the decision-word
+   layout).  The gather ``lo[(s>>v) | (F<<(n-v))]`` is then word-parallel:
+   the source bits of output word k under candidate ``F = c`` are simply
+   bits ``[k*nb, (k+1)*nb)`` of candidate c's plane region (``nb = 32>>v``
+   -- the ``s >> v`` map is a plain bitstream downsample), so slicing the
+   output by word residue ``r = k mod 2^v`` makes the whole combine
+   full-lane elementwise: ``out_r[q] = spread((lo_c[q] >> r*nb) & nbmask)``
+   selected by AND-masks of the hi window's planes.  One minor-axis
+   transpose per plane replaces the per-candidate lane shuffles that made
+   the uint8 repack 128/2^v-fold lane-wasteful.
+
+3. **Single-fetch windows at a data-aligned anchor.**  The 8 field bits of
+   every full window are stacked into one ``[B, nwin, 8, W]`` table so the
+   walk issues ONE ``(1, 8-plane, 1-word)`` slice per window per frame, and
+   windows are anchored at ``t = anchor (mod 8)`` with ``anchor = K-1`` for
+   frame decodes: the walk stops at the first kept data bit instead of
+   spending fetch rounds on the discarded initial-state bits, which for the
+   reference's 8-byte K=24 frames (T = 87, ref: src/main.cpp:411-414) means
+   exactly 8 fetch rounds and no remainder segments at all.
+
+Semantics match ``ops.chainback`` exactly (decision bit k at step t, state s
+=> decoded bit t = k, next state ``(s>>1) | (k << (K-2))``, ref:
+ka9q_libfec_port/viterbi27_sse2.cpp:101-102); the composition is pure
+function composition over arbitrary decision words, so bit-exactness is
+testable on random words.  The reference's own K=24 chainback is the
+bit-serial walk at viterbi224_sse2.cpp:93-105.
+
+Requires ``K - 1 >= 9`` (every combine reads whole-word source runs,
+``W >= 2^v``); smaller trellises use the Pallas traceback kernels instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import CodeSpec
+from ..utils.bits import bits_to_bytes
+
+__all__ = ["build_plane_tables", "chainback_plane_bits", "chainback_planes",
+           "plane_plan", "MIN_N", "W_WALK"]
+
+MIN_N = 9   # minimum K-1: the v=4 combine reads 2-bit runs from W>=16 words
+W_WALK = 8  # steps retired per dependent fetch
+
+
+def plane_plan(T: int, anchor: int) -> list[tuple[int, int]]:
+    """Segments ``(t0, width)`` covering [anchor, T), walk (descending-t)
+    order.  Full 8-windows at ``t0 = anchor (mod 8)``; the remainder below T
+    is covered by descending power-of-two widths, each ending on a multiple
+    of its width (relative to anchor) so its tables exist."""
+    segs: list[tuple[int, int]] = []
+    t = T
+    while t > anchor:
+        width = W_WALK
+        while width > 1 and (t - width < anchor or (t - anchor) % width):
+            width //= 2
+        segs.append((t - width, width))
+        t -= width
+    return segs
+
+
+def _u32(x: int) -> jnp.ndarray:
+    return jnp.uint32(x)
+
+
+def _spread(x: jnp.ndarray, v: int) -> jnp.ndarray:
+    """Repeat each of the low ``32 >> v`` bits of ``x`` ``2^v`` times
+    (aligns source-bit runs at ``s >> v`` granularity to output lanes).
+    Zero-interleave stages then fills; all uint32 elementwise."""
+    if v == 1:  # 16 bits -> each x2
+        x = (x | (x << 8)) & _u32(0x00FF00FF)
+        x = (x | (x << 4)) & _u32(0x0F0F0F0F)
+        x = (x | (x << 2)) & _u32(0x33333333)
+        x = (x | (x << 1)) & _u32(0x55555555)
+        return x | (x << 1)
+    if v == 2:  # 8 bits -> each x4
+        x = (x | (x << 12)) & _u32(0x000F000F)
+        x = (x | (x << 6)) & _u32(0x03030303)
+        x = (x | (x << 3)) & _u32(0x11111111)
+        x = x | (x << 1)
+        return x | (x << 2)
+    if v == 4:  # 2 bits -> each x16
+        lo = x & _u32(1)
+        hi = (x >> 1) & _u32(1)
+        return lo * _u32(0x0000FFFF) | hi * _u32(0xFFFF0000)
+    raise ValueError(f"unsupported spread width {v}")
+
+
+def _plane_gather(lo_planes, f_planes, v: int):
+    """``out_p[s] = lo_planes[p][(s >> v) | (F(s) << (n - v))]`` for every
+    plane; ``F(s)``'s bit j is ``f_planes[j]``.  All canonical packed
+    ``[..., W]`` uint32 bit planes over the state axis.
+
+    Residue-sliced: output word ``k = q*2^v + r`` takes bits
+    ``[r*nb, (r+1)*nb)`` of lo word ``q`` in candidate region c (``nb =
+    32>>v``), so for fixed r everything is elementwise over q at full lane
+    width; the hi-window mask planes are transposed to ``[2^v(r), Q]`` once
+    and the accumulated output transposed back once per plane.
+    """
+    W = lo_planes[0].shape[-1]
+    Q = W >> v
+    nb = 32 >> v
+    lead = lo_planes[0].shape[:-1]
+    # [.., Q, 2^v] -> [.., 2^v, Q]: element (r, q) = plane word q*2^v + r
+    f_t = [p.reshape(*lead, Q, 1 << v).swapaxes(-1, -2) for p in f_planes]
+    lo_r = [p.reshape(*lead, 1 << v, Q) for p in lo_planes]
+    run_mask = _u32((1 << nb) - 1)
+    full = _u32(0xFFFFFFFF)
+    accs = [None] * len(lo_planes)
+    for c in range(1 << v):
+        m = full
+        for j in range(v):
+            pj = f_t[j]
+            m = m & (pj if (c >> j) & 1 else ~pj)
+        for i, lp in enumerate(lo_r):
+            src = lp[..., c, :]  # [.., Q]
+            cand = jnp.stack(
+                [_spread((src >> _u32(r * nb)) & run_mask, v)
+                 for r in range(1 << v)], axis=-2)  # [.., 2^v, Q]
+            cand = m & cand
+            accs[i] = cand if accs[i] is None else accs[i] | cand
+    return [a.swapaxes(-1, -2).reshape(*lead, W) for a in accs]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def build_plane_tables(code: CodeSpec, words: jnp.ndarray, anchor: int = 0,
+                       g2: jnp.ndarray | None = None) -> dict:
+    """Build the G-level bit-plane tables from decision words ``[B, T, W]``.
+
+    Windows are anchored at ``t = anchor (mod width)``: pass ``anchor =
+    K-1`` for whole-frame decodes so the walk stops at the first kept data
+    bit (``anchor = 0`` reproduces a full walk to t=0).  Steps below
+    ``anchor`` get no windows.
+
+    Returns::
+
+        {"f8":  [B, n8, 8, W],   # byte-packed F_8: state s's field in byte
+                                 #   s&3 of word (d=(s>>2)&7, w=s>>5)
+         "g4":  [B, 2*n4, W],    # G_4 bit j of window p at row 2p+j
+         "g2":  [B, n2, W]}      # G_2 of window p
+
+    (uint32 canonical planes -- bit ``s & 31`` of word ``s >> 5``).  The
+    width-4/2/1 remainder segments of :func:`plane_plan` read ``g4``/
+    ``g2``/``words`` directly.  ``g2`` may be supplied by the producer (the
+    depth-2 update kernel computes it elementwise in VMEM for free --
+    ``ops.pallas.large_k2``); when absent it is built here with the v=1
+    combine.
+    """
+    n = code.K - 1
+    if n < MIN_N:
+        raise ValueError(f"plane tables need K-1 >= {MIN_N}, got {n}")
+    B, T, W = words.shape
+    Tn = T - anchor
+    tables: dict[str, jnp.ndarray] = {}
+
+    # Every combine is vectorized over ALL windows at once: _plane_gather
+    # treats leading dims opaquely, so [B, nwin, W] plane stacks go through
+    # in one fused pass (a lax.map per window costs ~10x in moveaxis copies
+    # and per-iteration dispatch -- measured on v5e).
+    if g2 is None:
+        n2 = Tn // 2
+        d_lo = words[:, anchor : anchor + 2 * n2 : 2]
+        d_hi = words[:, anchor + 1 : anchor + 2 * n2 : 2]
+        (g2,) = _plane_gather([d_lo], [d_hi], 1)
+    tables["g2"] = g2
+
+    # Level 4: window [a+4p, a+4p+4).  F_2 of a 2-window = (G_2 << 1) |
+    # D(last); hi 2-window = [a+4p+2, a+4p+4), lo = [a+4p, a+4p+2).
+    n4 = Tn // 4
+    d1_lo = words[:, anchor + 1 : anchor + 4 * n4 : 4]
+    d1_hi = words[:, anchor + 3 : anchor + 4 * n4 : 4]
+    g2_lo = g2[:, 0 : 2 * n4 : 2]
+    g2_hi = g2[:, 1 : 2 * n4 : 2]
+    g4_0, g4_1 = _plane_gather([d1_lo, g2_lo], [d1_hi, g2_hi], 2)
+    tables["g4"] = jnp.stack([g4_0, g4_1], axis=2).reshape(B, 2 * n4, W)
+
+    # Level 8: window [a+8p, a+8p+8).  F_4 = (G_4 << 2) | (G_2 << 1) |
+    # D(last); hi 4-window = [a+8p+4, a+8p+8), lo = [a+8p, a+8p+4).
+    n8 = Tn // 8
+    d3_lo = words[:, anchor + 3 : anchor + 8 * n8 : 8]
+    d3_hi = words[:, anchor + 7 : anchor + 8 * n8 : 8]
+    g2_4lo = g2[:, 1 : 4 * n8 : 4]
+    g2_4hi = g2[:, 3 : 4 * n8 : 4]
+    g4l = [g4_0[:, 0 : 2 * n8 : 2], g4_1[:, 0 : 2 * n8 : 2]]
+    g4h = [g4_0[:, 1 : 2 * n8 : 2], g4_1[:, 1 : 2 * n8 : 2]]
+    g8 = _plane_gather([d3_lo, g2_4lo, g4l[0], g4l[1]],
+                       [d3_hi, g2_4hi, g4h[0], g4h[1]], 4)
+    # Byte-pack the full field: f8[b, p, d, w] holds F_8 of states
+    # ``32w + 4d + e`` in byte e, so the walk's whole 8-bit field is ONE
+    # single-word fetch (a (1,1,8,1) slice across separate planes costs
+    # ~10x a one-word fetch on this platform).  The low nibble of F_8 IS
+    # F_4^{hi} (the mask planes above).
+    planes = [d3_hi, g2_4hi, g4h[0], g4h[1], *g8]
+    nib = jnp.arange(8, dtype=jnp.uint32).reshape(1, 1, 8, 1) * _u32(4)
+    f8 = None
+    for j, p in enumerate(planes):
+        x = (p[:, :, None, :] >> nib) & _u32(0xF)
+        # bit i of the nibble -> bit 8i (byte i's LSB)
+        x = (x | (x << 14)) & _u32(0x00030003)
+        x = (x | (x << 7)) & _u32(0x01010101)
+        x = x << j
+        f8 = x if f8 is None else f8 | x
+    tables["f8"] = f8  # [B, n8, 8, W]: F_8(s) at (s>>2)&7, word s>>5, byte s&3
+    return tables
+
+
+def _fetch_bit(arr, idx, pos):
+    """Scalar bit ``pos`` of ``arr[idx...]`` via dynamic_slice."""
+    word = jax.lax.dynamic_slice(arr, idx, (1,) * arr.ndim).reshape(())
+    return ((word >> pos.astype(jnp.uint32)) & _u32(1)).astype(jnp.int32)
+
+
+def chainback_plane_bits(
+    code: CodeSpec,
+    words: jnp.ndarray,
+    tables: dict,
+    num_data_bits: int,
+    endstate: jnp.ndarray | int = 0,
+    anchor: int = 0,
+):
+    """Traceback over the plane tables built at the same ``anchor``:
+    one dependent fetch per frame per 8-step window.
+
+    Walks from t = T down to t = ``anchor`` only -- decoded bits below
+    ``K-1`` are initial-state bits the caller drops anyway (the reference's
+    "look past tail" skip, viterbi27_sse2.cpp:97), so ``anchor = K-1``
+    removes their fetch rounds.  Requires ``anchor <= K-1`` (all kept bits
+    walked).
+
+    Returns ``(bits [B, num_data_bits] uint8, state_at_anchor [B] int32)``.
+    """
+    B, T, W = words.shape
+    n = code.K - 1
+    if anchor > n:
+        raise ValueError("anchor must be <= K-1 (kept bits start at K-1)")
+    g2, g4, f8 = tables["g2"], tables["g4"], tables["f8"]
+    mask = jnp.int32(code.num_states - 1)
+    state = list(jnp.broadcast_to(
+        jnp.asarray(endstate, dtype=jnp.int32) & mask, (B,)))
+
+    segs = plane_plan(T, anchor)
+    pieces: dict[int, tuple] = {}
+    for t0, width in segs:
+        a0 = t0 - anchor
+        seg_F = []
+        for b in range(B):
+            s = state[b]
+            idx = (s >> 5).astype(jnp.int32)
+            pos = s & 31
+            if width == 8:
+                word = jax.lax.dynamic_slice(
+                    f8, (b, a0 // 8, (s >> 2) & 7, idx), (1, 1, 1, 1)
+                ).reshape(())
+                F = ((word >> ((s & 3) * 8).astype(jnp.uint32))
+                     & _u32(0xFF)).astype(jnp.int32)
+            elif width == 4:
+                w4 = jax.lax.dynamic_slice(
+                    g4, (b, 2 * (a0 // 4), idx), (1, 2, 1)).reshape(2)
+                b4 = ((w4 >> pos.astype(jnp.uint32)) & _u32(1)).astype(jnp.int32)
+                F = ((b4[1] << 3) | (b4[0] << 2)
+                     | (_fetch_bit(g2, (b, a0 // 2 + 1, idx), pos) << 1)
+                     | _fetch_bit(words, (b, t0 + 3, idx), pos))
+            elif width == 2:
+                F = ((_fetch_bit(g2, (b, a0 // 2, idx), pos) << 1)
+                     | _fetch_bit(words, (b, t0 + 1, idx), pos))
+            else:
+                F = _fetch_bit(words, (b, t0, idx), pos)
+            state[b] = (s >> width) | (F << (n - width))
+            seg_F.append(F)
+        pieces[t0] = (jnp.stack(seg_F), width)
+
+    cols = []
+    for t0 in sorted(pieces):
+        F, width = pieces[t0]
+        shifts = jnp.arange(width - 1, -1, -1, dtype=jnp.int32)
+        cols.append(((F[:, None] >> shifts) & 1).astype(jnp.uint8))
+    bits = jnp.concatenate(cols, axis=1)
+    end_state = jnp.stack(state)
+    keep0 = code.K - 1 - anchor
+    return bits[:, keep0 : keep0 + num_data_bits], end_state
+
+
+def chainback_planes(code, words, tables, num_data_bits, endstate=0,
+                     anchor: int = 0):
+    """Decode to bytes ``[B, num_data_bits // 8]`` uint8 (MSB-first)."""
+    bits, _ = chainback_plane_bits(code, words, tables, num_data_bits,
+                                   endstate, anchor)
+    return bits_to_bytes(bits)

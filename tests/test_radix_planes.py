@@ -1,0 +1,121 @@
+"""Bit-plane radix traceback (ops/radix_planes.py): exactness vs the plain
+walk, the kernel-emitted G_2 plane, and the dispatch route.
+
+The plane tables are pure function composition over the decision words, so
+agreement must hold for ARBITRARY word contents (random words walk arbitrary
+survivor paths), any endstate, any anchor, and any T (remainder segments).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ka9q_viterbi_comparison_tpu.configs import (
+    CodeSpec,
+    VITERBI615,
+    soft8_spec,
+)
+from ka9q_viterbi_comparison_tpu.ops import acs, chainback as cb, radix_planes as rp
+from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
+from ka9q_viterbi_comparison_tpu.ops.pallas import large_k2
+from ka9q_viterbi_comparison_tpu.utils.bits import count_bit_errors
+
+K11 = CodeSpec("k11test", K=11, R=2, polys=(0o2672, 0o3545))
+K10 = CodeSpec("k10test", K=10, R=2, polys=(0o1234, 0o1571))
+
+
+def test_plane_plan_covers_and_aligns():
+    for T, anchor in [(87, 0), (87, 22), (64, 0), (45, 8), (96, 14), (30, 23)]:
+        segs = rp.plane_plan(T, anchor)
+        covered = [t for t0, w in segs for t in range(t0, t0 + w)]
+        assert sorted(covered) == list(range(anchor, T))
+        for t0, w in segs:
+            assert w in (1, 2, 4, 8) and (t0 - anchor) % w == 0
+        starts = [t0 for t0, _ in segs]
+        assert starts == sorted(starts, reverse=True)
+
+
+def test_plane_plan_bench_frame_is_pure_windows():
+    # The reference's K=24 bench frame: 8 bytes -> T = 87, anchor = 22:
+    # one single-bit segment at the top, then eight full windows.
+    segs = rp.plane_plan(87, 22)
+    assert segs[0] == (86, 1)
+    assert [w for _, w in segs[1:]] == [8] * 8
+
+
+@pytest.mark.parametrize("code,T,B", [
+    (K11, 87, 3),          # remainder at top
+    (K11, 64, 2),          # exact multiple of 8
+    (VITERBI615, 45, 2),   # K=15, remainder 5
+    (K10, 50, 2),          # minimum supported K-1 = 9
+])
+@pytest.mark.parametrize("endstate", [0, 5])
+def test_plane_walk_matches_plain_walk_on_random_words(code, T, B, endstate):
+    rng = np.random.default_rng(42)
+    W = max(1, code.num_states // 32)
+    words = jnp.asarray(rng.integers(0, 2**32, size=(B, T, W), dtype=np.uint32))
+    nbits = (T - code.K + 1) // 8 * 8
+    ref_bits, _ = cb.chainback_bits(code, words, nbits, endstate)
+    for anchor in (0, (code.K - 1) & ~1):
+        tabs = rp.build_plane_tables(code, words, anchor)
+        got_bits, _ = rp.chainback_plane_bits(
+            code, words, tabs, nbits, endstate, anchor)
+        np.testing.assert_array_equal(np.asarray(ref_bits), np.asarray(got_bits))
+
+
+def test_plane_anchor_zero_matches_full_walk_state():
+    """anchor=0 reproduces the full walk including the start state."""
+    code, T, B = K11, 40, 2
+    rng = np.random.default_rng(3)
+    W = code.num_states // 32
+    words = jnp.asarray(rng.integers(0, 2**32, size=(B, T, W), dtype=np.uint32))
+    ref_bits, ref_ss = cb.chainback_bits(code, words, 16, 7)
+    tabs = rp.build_plane_tables(code, words, 0)
+    got_bits, got_ss = rp.chainback_plane_bits(code, words, tabs, 16, 7, 0)
+    np.testing.assert_array_equal(np.asarray(ref_bits), np.asarray(got_bits))
+    np.testing.assert_array_equal(np.asarray(ref_ss), np.asarray(got_ss))
+
+
+def test_kernel_g2_matches_jnp_builder():
+    """large_k2's want_g2 plane (built elementwise in VMEM from both steps'
+    decisions) must equal the v=1 combine over the returned words."""
+    code, numeric = K11, soft8_spec(2)
+    rng = np.random.default_rng(7)
+    B, T = 2, 20
+    syms = jnp.asarray(rng.integers(-3, 4, size=(B, T, 2)).astype(np.int32))
+    m0 = acs.init_metrics(code, numeric, B)
+    m_a, w_a, off_a = large_k2.acs_update_large2(code, numeric, m0, syms, True)
+    m_b, w_b, g2, off_b = large_k2.acs_update_large2(
+        code, numeric, m0, syms, True, None, True)
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
+    np.testing.assert_array_equal(np.asarray(off_a), np.asarray(off_b))
+    tabs = rp.build_plane_tables(code, w_a, 0)
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(tabs["g2"]))
+
+
+def test_plane_roundtrip_decode_with_kernel_g2():
+    """End-to-end: large_k2 update with kernel G_2 -> anchored plane tables
+    -> byte-table walk recovers the data bit-exactly (the dispatch route)."""
+    code, numeric = K11, soft8_spec(2)
+    rng = np.random.default_rng(11)
+    B, nbytes = 2, 8
+    data = rng.integers(0, 256, size=(B, nbytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+    m0 = acs.init_metrics(code, numeric, B)
+    _, words, g2k, _ = large_k2.acs_update_large2(
+        code, numeric, m0, syms.astype(jnp.int32), True, None, True)
+    T = words.shape[1]
+    anchor = (code.K - 1) & ~1
+    n2 = (T - anchor) // 2
+    g2 = g2k[:, anchor // 2 : anchor // 2 + n2]
+    tabs = rp.build_plane_tables(code, words, anchor, g2)
+    out = rp.chainback_planes(code, words, tabs, nbytes * 8, 0, anchor)
+    assert count_bit_errors(np.asarray(out), data) == 0
+
+
+def test_plane_tables_reject_small_trellis():
+    small = CodeSpec("k9", K=9, R=2, polys=(0x1AF, 0x11D))
+    words = jnp.zeros((1, 16, 8), jnp.uint32)
+    with pytest.raises(ValueError):
+        rp.build_plane_tables(small, words, 0)
