@@ -16,7 +16,6 @@ with no transposes between phases -- the configuration the benchmark measures.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 from ...configs import CodeSpec, NumericSpec
 from ...utils.bits import bits_to_bytes
 from .. import acs, chainback as cb
-from . import inplace, kernels, kernels2
+from . import flags, inplace, kernels, kernels2
 
 __all__ = ["acs_update", "chainback", "phase_fns", "supports", "on_tpu"]
 
@@ -53,18 +52,16 @@ def use_inplace(code: CodeSpec, batch_padded: int) -> bool:
     K=7: 10.25 vs 1.64 Gsym/s at B=512; K=9: 1.74 vs 0.40 at B=512;
     K=15: 49.5 vs 24.7 Msym/s at B=256 (large_k2).  At under-full lanes it
     loses (K=15 B=64: 17.7 vs 24.7 Msym/s), so small batches keep the
-    previous routes.  ``KA9Q_TPU_INPLACE=0`` disables the route; ``=1``
-    forces it at any batch (tests use this to pin coverage)."""
-    import os
-
-    flag = os.environ.get("KA9Q_TPU_INPLACE")
-    if flag == "0":
+    previous routes.  ``KA9Q_TPU_INPLACE`` (see ``flags.py``) disables or
+    forces the route; tests use force to pin coverage."""
+    mode = flags.inplace_mode()
+    if mode == "off":
         return False
     if not (5 < code.K <= 15):
         # K <= 5 trellises (S <= 16 sublane rows) are below the kernel's
         # chunking granularity and decode fast on any path.
         return False
-    if flag != "1" and batch_padded < 128:
+    if mode != "force" and batch_padded < 128:
         return False
     return fits_inplace_vmem(code, batch_padded)
 
@@ -355,22 +352,21 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
         # blocks fit VMEM (K <= 15).  Above that (K=24) the plain walk is
         # bound by serialized dependent fetches (~1.2 us per 4-byte word,
         # one per frame per trellis step), so the update phase additionally
-        # builds the bit-plane radix tables (ops/radix_planes.py: G_2 free
-        # from the kernel, G_4/G_8 word-parallel combines, byte-packed F_8)
-        # and the traceback retires 8 steps per single-word fetch --
-        # measured 17.3 Mbit/s aggregate at B=4 vs 0.37 M for the plain
-        # walk, repack marginal ~37 ms riding a ~130 ms update
-        # (tools/k24_plane_probe.py).
+        # builds the bit-plane radix tables (ops/radix_planes.py: word-
+        # parallel residue-sliced combines over TIME-MAJOR planes, F_8
+        # byte-packed) and the traceback retires 8 steps per single-word
+        # fetch -- measured 17.3 Mbit/s aggregate at B=4 vs 0.37 M for the
+        # plain walk (tools/k24_plane_probe.py).
         from . import large_k2
         from .. import radix_planes as rp
 
         interp_lg = not on_tpu()
         use_planes = (not supports_chainback(code)
                       and code.K - 1 >= rp.MIN_N)
-        # Even anchor: the kernel's G_2 pairs anchor at even t; the largest
-        # even value <= K-1 keeps every kept data bit walked while skipping
-        # the most discarded initial-state steps.
-        anchor = (code.K - 1) & ~1 if use_planes else 0
+        # Anchor at the first kept data bit: the walk skips the discarded
+        # initial-state steps, leaving pure 8-step windows for the
+        # reference's frame sizes.
+        anchor = code.K - 1 if use_planes else 0
         cb_fn = chainback if supports_chainback(code) else cb.chainback
 
         def init_fn(batch):
@@ -378,13 +374,11 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
 
         def update_fn(metrics, symbols):
             if use_planes:
-                m, w, g2k, off = large_k2.acs_update_large2(
-                    code, numeric, metrics, symbols, interp_lg, None, True)
-                T = w.shape[1]
-                n2 = (T - anchor) // 2
-                g2 = g2k[:, anchor // 2 : anchor // 2 + n2]
-                tabs = rp.build_plane_tables(code, w, anchor, g2)
-                return m, (w, tabs), off
+                m, w_tm, off = large_k2.acs_update_large2(
+                    code, numeric, metrics, symbols, interp_lg, None,
+                    False, True)
+                tabs = rp.build_plane_tables(code, w_tm, anchor)
+                return m, (w_tm, tabs), off
             m, w, off = large_k2.acs_update_large2(
                 code, numeric, metrics, symbols, interp_lg)
             return m, w, off
@@ -397,8 +391,8 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
 
         def _cb_impl(words, endstate):
             if use_planes:
-                w, tabs = words
-                return rp.chainback_planes(code, w, tabs, num_data_bits,
+                w_tm, tabs = words
+                return rp.chainback_planes(code, w_tm, tabs, num_data_bits,
                                            endstate, anchor)
             return cb_fn(code, words, num_data_bits, endstate)
 

@@ -1,0 +1,73 @@
+"""Single source of truth for the ``KA9Q_TPU_*`` environment knobs.
+
+Every behavior-changing environment variable the kernel layer reads lives
+here, with its default and meaning; no other module may touch
+``os.environ`` for a ``KA9Q_TPU_`` name (pinned by
+``tests/test_flags.py``).  All knobs are read at *trace* time (inside the
+first call for a given static configuration), so changing one mid-process
+only affects not-yet-compiled configurations -- set them before first use
+(tests that flip them use fresh static arguments).
+
+This is the TPU analogue of the reference's compile-time config macros
+(e.g. the SPIRAL ``RENORMALIZE_THRESHOLD`` block, spiral/spiral27.cpp:9-17):
+rarely-touched implementation selectors, kept out of the public API.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["KNOBS", "inplace_mode", "inplace_unroll", "lk2_tables",
+           "lk2_residue"]
+
+# name -> (default, meaning).  Keep in sync with README.md's knob table.
+KNOBS: dict[str, tuple[str, str]] = {
+    "KA9Q_TPU_INPLACE": (
+        "auto",
+        "Routing of 5 < K <= 15 through the in-place rotating-address "
+        "kernel. auto: on at full lane groups when the metrics fit VMEM "
+        "(measured fastest); 0: never; 1: force at any batch (tests pin "
+        "coverage with this).",
+    ),
+    "KA9Q_TPU_INPLACE_UNROLL": (
+        "1",
+        "Chunk-loop unroll factor of the in-place kernel. 1 measured "
+        "fastest on v5e (tools/unroll_sweep.py: 50.5 vs 45.6 Msym/s at 2).",
+    ),
+    "KA9Q_TPU_LK2_TABLES": (
+        "1",
+        "Stream static branch-parity tables in the depth-2 large-K kernel "
+        "(R <= 2 only). Measured time-identical to the in-kernel parity "
+        "fold at K=24 (tools/k24_sweep.py); kept default-on. 0: fold path.",
+    ),
+    "KA9Q_TPU_LK2_RESIDUE": (
+        "0",
+        "Carry the K=24 metric tensor between pairs in mod-4 column-residue "
+        "form (skips the XLA re-interleave). Bit-exact in interpret mode "
+        "but BLOCKED on the current Mosaic toolchain (4:1 lane interleave "
+        "fails to lower; ops/pallas/large_k2.py). 1: enable anyway.",
+    ),
+}
+
+
+def _get(name: str) -> str:
+    default, _ = KNOBS[name]
+    return os.environ.get(name, default)
+
+
+def inplace_mode() -> str:
+    """``"auto"``, ``"off"`` (=0) or ``"force"`` (=1)."""
+    v = _get("KA9Q_TPU_INPLACE")
+    return {"0": "off", "1": "force"}.get(v, "auto")
+
+
+def inplace_unroll() -> int:
+    return max(1, int(_get("KA9Q_TPU_INPLACE_UNROLL")))
+
+
+def lk2_tables() -> bool:
+    return _get("KA9Q_TPU_LK2_TABLES") != "0"
+
+
+def lk2_residue() -> bool:
+    return _get("KA9Q_TPU_LK2_RESIDUE") == "1"

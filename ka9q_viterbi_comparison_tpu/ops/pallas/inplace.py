@@ -54,7 +54,6 @@ fail to compile).  Measured on v5e: 33.6/49.5 Msym/s at B=128/256 vs
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -165,7 +164,9 @@ def _chunk_unroll() -> int:
     instruction-level parallelism across chunks without growing any live
     range beyond ``unroll`` chunks (the register-spill failure mode was the
     *whole-array* formulation, K-1 phases x 32 chunks live at once)."""
-    return max(1, int(os.environ.get("KA9Q_TPU_INPLACE_UNROLL", "1")))
+    from . import flags
+
+    return flags.inplace_unroll()
 
 
 def _loop_chunks(n: int, body) -> None:

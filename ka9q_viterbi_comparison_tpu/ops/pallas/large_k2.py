@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...configs import CodeSpec, NumericSpec
-from . import large_k
+from . import flags, large_k
 
 __all__ = ["acs_update_large2"]
 
@@ -336,7 +336,7 @@ def _pair_kernel(code: CodeSpec, numeric: NumericSpec, Lb4: int, NB: int, mdt,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 7))
 def acs_update_large2(
     code: CodeSpec,
     numeric: NumericSpec,
@@ -345,6 +345,7 @@ def acs_update_large2(
     interpret: bool = False,
     metric_dtype: str | None = None,
     want_g2: bool = False,
+    time_major: bool = False,
 ):
     """Two-steps-per-launch ACS; same contract as ``acs_update_large``.
 
@@ -355,6 +356,12 @@ def acs_update_large2(
     exactly like the step-t+1 decision words; both steps' decisions are
     already in VMEM in the right coordinates, so it costs one elementwise
     select and W/2 extra words of DMA per pair.
+
+    ``time_major`` returns ``words`` (and ``g2``) in the scan's native
+    ``[T, B, W]`` order, skipping the batch-major transpose -- the layout
+    the radix plane build consumes (every window slice becomes a cheap
+    leading-axis slice; the [B, T, W] transpose of K=24's 348 MiB word
+    tensor is pure overhead for that consumer).
     """
     B, S = metrics.shape
     _, T, R = symbols.shape
@@ -371,11 +378,9 @@ def acs_update_large2(
         mdt = jnp.dtype(metric_dtype).type
     else:
         mdt = large_k.metric_dtype_for(code, numeric, T)
-    import os
-
     # KA9Q_TPU_LK2_TABLES=0 forces the in-kernel parity-fold path (A/B probe
     # hook, tools/k24_sweep.py); tables are the default for R <= 2.
-    use_tables = R <= 2 and os.environ.get("KA9Q_TPU_LK2_TABLES") != "0"
+    use_tables = R <= 2 and flags.lk2_tables()
     # KA9Q_TPU_LK2_RESIDUE=1 carries the metric tensor between pairs in the
     # kernel's own mod-4 column-residue representation, which would remove
     # the whole-array XLA re-interleave per pair (an extra HBM read+write of
@@ -386,8 +391,7 @@ def acs_update_large2(
     # vector<4x32x256x4xi32> -> vector<4x32x1024xi32>), and every variant of
     # the column bijection puts the same 4:1 lane shuffle on either the read
     # or the write side.  Default off until the toolchain supports it.
-    use_residue = (Lb4 % 4 == 0
-                   and os.environ.get("KA9Q_TPU_LK2_RESIDUE", "0") == "1")
+    use_residue = Lb4 % 4 == 0 and flags.lk2_residue()
     kernel = _pair_kernel(code, numeric, Lb4, NB, mdt, use_tables, use_residue,
                           want_g2)
     m_shape = jax.ShapeDtypeStruct((B, PACK, C // 4), mdt)
@@ -473,7 +477,11 @@ def acs_update_large2(
     words = words2.reshape(T2 * 2, B, C)
 
     m_final = m3.astype(jnp.int32).transpose(0, 2, 1).reshape(B, S)
-    all_words = jax.lax.bitcast_convert_type(words.transpose(1, 0, 2), jnp.uint32)
+    if time_major:
+        all_words = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    else:
+        all_words = jax.lax.bitcast_convert_type(
+            words.transpose(1, 0, 2), jnp.uint32)
 
     if T % 2:
         # Odd tail: one single-step launch on the last symbol (its own entry
@@ -481,10 +489,12 @@ def acs_update_large2(
         m_final, w_tail, tail_shift = large_k.acs_update_large.__wrapped__(
             code, numeric, m_final, symbols[:, T - 1 :], interpret
         )
-        all_words = jnp.concatenate([all_words, w_tail], axis=1)
+        w_tail = w_tail.transpose(1, 0, 2) if time_major else w_tail
+        all_words = jnp.concatenate([all_words, w_tail],
+                                    axis=0 if time_major else 1)
         entry_shift = entry_shift + tail_shift
     if want_g2:
         g2_words = jax.lax.bitcast_convert_type(
-            g2w.transpose(1, 0, 2), jnp.uint32)  # [B, T//2, C]
+            g2w if time_major else g2w.transpose(1, 0, 2), jnp.uint32)
         return m_final, all_words, g2_words, entry_shift
     return m_final, all_words, entry_shift

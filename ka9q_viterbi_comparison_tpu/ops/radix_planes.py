@@ -2,10 +2,11 @@
 
 The K=24 traceback is bound by serialized dependent-fetch latency (~1.2 us
 per fetch, one per frame per trellis step -- RESULTS.md), so the fix is to
-retire more steps per fetch.  ``ops.radix`` proved the walk side (width-8
-path fields) but its uint8 per-state tables made the repack XLA-relayout
-bound (~30x the update kernel's own time).  This module is the production
-design; it removes the repack bottleneck with three structural moves:
+retire more steps per fetch.  ``ops.radix`` (round 2, since removed) proved
+the walk side with width-8 path fields but its uint8 per-state tables made
+the repack XLA-relayout bound (~30x the update kernel's own time).  This
+module is the production design; it removes the repack bottleneck with
+three structural moves:
 
 1. **Telescoping fields.**  The width-8 field at state ``s`` for window
    ``[t0, t0+8)`` decomposes as
@@ -31,14 +32,17 @@ design; it removes the repack bottleneck with three structural moves:
    transpose per plane replaces the per-candidate lane shuffles that made
    the uint8 repack 128/2^v-fold lane-wasteful.
 
-3. **Single-fetch windows at a data-aligned anchor.**  The 8 field bits of
-   every full window are stacked into one ``[B, nwin, 8, W]`` table so the
-   walk issues ONE ``(1, 8-plane, 1-word)`` slice per window per frame, and
-   windows are anchored at ``t = anchor (mod 8)`` with ``anchor = K-1`` for
-   frame decodes: the walk stops at the first kept data bit instead of
-   spending fetch rounds on the discarded initial-state bits, which for the
-   reference's 8-byte K=24 frames (T = 87, ref: src/main.cpp:411-414) means
-   exactly 8 fetch rounds and no remainder segments at all.
+3. **Time-major single-fetch windows at a data-aligned anchor.**  All plane
+   arrays are TIME-MAJOR (``[T, B, W]`` -- the update scan's native output
+   order), so every window selection is a cheap leading-axis slice and the
+   producer never pays a batch-major transpose of the 348 MiB K=24 word
+   tensor.  The 8 field bits of every full window are byte-packed per state
+   into one uint32 table so the walk issues ONE single-word fetch per
+   window per frame, and windows are anchored at ``t = anchor (mod 8)``
+   with ``anchor = K-1`` for frame decodes: the walk stops at the first
+   kept data bit, which for the reference's 8-byte K=24 frames (T = 87,
+   ref: src/main.cpp:411-414) means exactly 8 fetch rounds and no remainder
+   segments at all.
 
 Semantics match ``ops.chainback`` exactly (decision bit k at step t, state s
 => decoded bit t = k, next state ``(s>>1) | (k << (K-2))``, ref:
@@ -114,7 +118,7 @@ def _spread(x: jnp.ndarray, v: int) -> jnp.ndarray:
 def _plane_gather(lo_planes, f_planes, v: int):
     """``out_p[s] = lo_planes[p][(s >> v) | (F(s) << (n - v))]`` for every
     plane; ``F(s)``'s bit j is ``f_planes[j]``.  All canonical packed
-    ``[..., W]`` uint32 bit planes over the state axis.
+    ``[..., W]`` uint32 bit planes over the state axis (any leading dims).
 
     Residue-sliced: output word ``k = q*2^v + r`` takes bits
     ``[r*nb, (r+1)*nb)`` of lo word ``q`` in candidate region c (``nb =
@@ -131,6 +135,11 @@ def _plane_gather(lo_planes, f_planes, v: int):
     lo_r = [p.reshape(*lead, 1 << v, Q) for p in lo_planes]
     run_mask = _u32((1 << nb) - 1)
     full = _u32(0xFFFFFFFF)
+    # All r-residues in one broadcasted shift (NOT a per-r stack: XLA stops
+    # fusing the concatenate at large leading dims and every candidate
+    # round-trips HBM -- measured 8x on the v=4 level at K=24 shapes).
+    r_shift = (jnp.arange(1 << v, dtype=jnp.uint32) * _u32(nb)).reshape(
+        *([1] * len(lead)), 1 << v, 1)
     accs = [None] * len(lo_planes)
     for c in range(1 << v):
         m = full
@@ -139,10 +148,8 @@ def _plane_gather(lo_planes, f_planes, v: int):
             m = m & (pj if (c >> j) & 1 else ~pj)
         for i, lp in enumerate(lo_r):
             src = lp[..., c, :]  # [.., Q]
-            cand = jnp.stack(
-                [_spread((src >> _u32(r * nb)) & run_mask, v)
-                 for r in range(1 << v)], axis=-2)  # [.., 2^v, Q]
-            cand = m & cand
+            cand = _spread((src[..., None, :] >> r_shift) & run_mask, v)
+            cand = m & cand  # [.., 2^v, Q]
             accs[i] = cand if accs[i] is None else accs[i] | cand
     return [a.swapaxes(-1, -2).reshape(*lead, W) for a in accs]
 
@@ -150,7 +157,9 @@ def _plane_gather(lo_planes, f_planes, v: int):
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def build_plane_tables(code: CodeSpec, words: jnp.ndarray, anchor: int = 0,
                        g2: jnp.ndarray | None = None) -> dict:
-    """Build the G-level bit-plane tables from decision words ``[B, T, W]``.
+    """Build the G-level bit-plane tables from TIME-MAJOR decision words
+    ``[T, B, W]`` (the update scan's native order; ``[B, T, W]`` callers
+    pass ``words.transpose(1, 0, 2)``).
 
     Windows are anchored at ``t = anchor (mod width)``: pass ``anchor =
     K-1`` for whole-frame decodes so the walk stops at the first kept data
@@ -159,73 +168,73 @@ def build_plane_tables(code: CodeSpec, words: jnp.ndarray, anchor: int = 0,
 
     Returns::
 
-        {"f8":  [B, n8, 8, W],   # byte-packed F_8: state s's field in byte
-                                 #   s&3 of word (d=(s>>2)&7, w=s>>5)
-         "g4":  [B, 2*n4, W],    # G_4 bit j of window p at row 2p+j
-         "g2":  [B, n2, W]}      # G_2 of window p
+        {"f8":  [n8, 8, B, W],   # byte-packed F_8: state s's field in byte
+                                 #   s&3 of word (d=(s>>2)&7, word s>>5)
+         "g4":  [2*n4, B, W],    # G_4 bit j of window p at row 2p+j
+         "g2":  [n2, B, W]}      # G_2 of window p
 
     (uint32 canonical planes -- bit ``s & 31`` of word ``s >> 5``).  The
     width-4/2/1 remainder segments of :func:`plane_plan` read ``g4``/
-    ``g2``/``words`` directly.  ``g2`` may be supplied by the producer (the
-    depth-2 update kernel computes it elementwise in VMEM for free --
-    ``ops.pallas.large_k2``); when absent it is built here with the v=1
-    combine.
+    ``g2``/``words`` directly.  ``g2`` may be supplied by the producer
+    (``ops.pallas.large_k2``'s ``want_g2`` emits it elementwise in VMEM;
+    only valid for even anchors since kernel pairs anchor at even t) --
+    measured on v5e the jnp v=1 combine is cheaper than the kernel
+    emission's extra DMA, so the default route builds it here.
     """
     n = code.K - 1
     if n < MIN_N:
         raise ValueError(f"plane tables need K-1 >= {MIN_N}, got {n}")
-    B, T, W = words.shape
+    T, B, W = words.shape
     Tn = T - anchor
     tables: dict[str, jnp.ndarray] = {}
 
     # Every combine is vectorized over ALL windows at once: _plane_gather
-    # treats leading dims opaquely, so [B, nwin, W] plane stacks go through
-    # in one fused pass (a lax.map per window costs ~10x in moveaxis copies
-    # and per-iteration dispatch -- measured on v5e).
+    # treats leading dims opaquely, so [nwin, B, W] plane stacks go through
+    # in one fused pass, and window selection is a leading-axis slice.
     if g2 is None:
         n2 = Tn // 2
-        d_lo = words[:, anchor : anchor + 2 * n2 : 2]
-        d_hi = words[:, anchor + 1 : anchor + 2 * n2 : 2]
+        d_lo = words[anchor : anchor + 2 * n2 : 2]
+        d_hi = words[anchor + 1 : anchor + 2 * n2 : 2]
         (g2,) = _plane_gather([d_lo], [d_hi], 1)
     tables["g2"] = g2
 
     # Level 4: window [a+4p, a+4p+4).  F_2 of a 2-window = (G_2 << 1) |
     # D(last); hi 2-window = [a+4p+2, a+4p+4), lo = [a+4p, a+4p+2).
     n4 = Tn // 4
-    d1_lo = words[:, anchor + 1 : anchor + 4 * n4 : 4]
-    d1_hi = words[:, anchor + 3 : anchor + 4 * n4 : 4]
-    g2_lo = g2[:, 0 : 2 * n4 : 2]
-    g2_hi = g2[:, 1 : 2 * n4 : 2]
+    d1_lo = words[anchor + 1 : anchor + 4 * n4 : 4]
+    d1_hi = words[anchor + 3 : anchor + 4 * n4 : 4]
+    g2_lo = g2[0 : 2 * n4 : 2]
+    g2_hi = g2[1 : 2 * n4 : 2]
     g4_0, g4_1 = _plane_gather([d1_lo, g2_lo], [d1_hi, g2_hi], 2)
-    tables["g4"] = jnp.stack([g4_0, g4_1], axis=2).reshape(B, 2 * n4, W)
+    tables["g4"] = jnp.stack([g4_0, g4_1], axis=1).reshape(2 * n4, B, W)
 
     # Level 8: window [a+8p, a+8p+8).  F_4 = (G_4 << 2) | (G_2 << 1) |
     # D(last); hi 4-window = [a+8p+4, a+8p+8), lo = [a+8p, a+8p+4).
     n8 = Tn // 8
-    d3_lo = words[:, anchor + 3 : anchor + 8 * n8 : 8]
-    d3_hi = words[:, anchor + 7 : anchor + 8 * n8 : 8]
-    g2_4lo = g2[:, 1 : 4 * n8 : 4]
-    g2_4hi = g2[:, 3 : 4 * n8 : 4]
-    g4l = [g4_0[:, 0 : 2 * n8 : 2], g4_1[:, 0 : 2 * n8 : 2]]
-    g4h = [g4_0[:, 1 : 2 * n8 : 2], g4_1[:, 1 : 2 * n8 : 2]]
+    d3_lo = words[anchor + 3 : anchor + 8 * n8 : 8]
+    d3_hi = words[anchor + 7 : anchor + 8 * n8 : 8]
+    g2_4lo = g2[1 : 4 * n8 : 4]
+    g2_4hi = g2[3 : 4 * n8 : 4]
+    g4l = [g4_0[0 : 2 * n8 : 2], g4_1[0 : 2 * n8 : 2]]
+    g4h = [g4_0[1 : 2 * n8 : 2], g4_1[1 : 2 * n8 : 2]]
     g8 = _plane_gather([d3_lo, g2_4lo, g4l[0], g4l[1]],
                        [d3_hi, g2_4hi, g4h[0], g4h[1]], 4)
-    # Byte-pack the full field: f8[b, p, d, w] holds F_8 of states
+    # Byte-pack the full field: f8[p, d, b, w] holds F_8 of states
     # ``32w + 4d + e`` in byte e, so the walk's whole 8-bit field is ONE
-    # single-word fetch (a (1,1,8,1) slice across separate planes costs
-    # ~10x a one-word fetch on this platform).  The low nibble of F_8 IS
-    # F_4^{hi} (the mask planes above).
+    # single-word fetch (a strided multi-plane slice costs ~10x a one-word
+    # fetch on this platform).  The low nibble of F_8 IS F_4^{hi} (the mask
+    # planes above).
     planes = [d3_hi, g2_4hi, g4h[0], g4h[1], *g8]
-    nib = jnp.arange(8, dtype=jnp.uint32).reshape(1, 1, 8, 1) * _u32(4)
+    nib = jnp.arange(8, dtype=jnp.uint32).reshape(1, 8, 1, 1) * _u32(4)
     f8 = None
     for j, p in enumerate(planes):
-        x = (p[:, :, None, :] >> nib) & _u32(0xF)
+        x = (p[:, None, :, :] >> nib) & _u32(0xF)
         # bit i of the nibble -> bit 8i (byte i's LSB)
         x = (x | (x << 14)) & _u32(0x00030003)
         x = (x | (x << 7)) & _u32(0x01010101)
         x = x << j
         f8 = x if f8 is None else f8 | x
-    tables["f8"] = f8  # [B, n8, 8, W]: F_8(s) at (s>>2)&7, word s>>5, byte s&3
+    tables["f8"] = f8  # [n8, 8, B, W]
     return tables
 
 
@@ -246,15 +255,15 @@ def chainback_plane_bits(
     """Traceback over the plane tables built at the same ``anchor``:
     one dependent fetch per frame per 8-step window.
 
-    Walks from t = T down to t = ``anchor`` only -- decoded bits below
-    ``K-1`` are initial-state bits the caller drops anyway (the reference's
-    "look past tail" skip, viterbi27_sse2.cpp:97), so ``anchor = K-1``
-    removes their fetch rounds.  Requires ``anchor <= K-1`` (all kept bits
-    walked).
+    ``words`` is TIME-MAJOR ``[T, B, W]`` like the tables.  Walks from
+    t = T down to t = ``anchor`` only -- decoded bits below ``K-1`` are
+    initial-state bits the caller drops anyway (the reference's "look past
+    tail" skip, viterbi27_sse2.cpp:97), so ``anchor = K-1`` removes their
+    fetch rounds.  Requires ``anchor <= K-1`` (all kept bits walked).
 
     Returns ``(bits [B, num_data_bits] uint8, state_at_anchor [B] int32)``.
     """
-    B, T, W = words.shape
+    T, B, W = words.shape
     n = code.K - 1
     if anchor > n:
         raise ValueError("anchor must be <= K-1 (kept bits start at K-1)")
@@ -274,22 +283,22 @@ def chainback_plane_bits(
             pos = s & 31
             if width == 8:
                 word = jax.lax.dynamic_slice(
-                    f8, (b, a0 // 8, (s >> 2) & 7, idx), (1, 1, 1, 1)
+                    f8, (a0 // 8, (s >> 2) & 7, b, idx), (1, 1, 1, 1)
                 ).reshape(())
                 F = ((word >> ((s & 3) * 8).astype(jnp.uint32))
                      & _u32(0xFF)).astype(jnp.int32)
             elif width == 4:
                 w4 = jax.lax.dynamic_slice(
-                    g4, (b, 2 * (a0 // 4), idx), (1, 2, 1)).reshape(2)
+                    g4, (2 * (a0 // 4), b, idx), (2, 1, 1)).reshape(2)
                 b4 = ((w4 >> pos.astype(jnp.uint32)) & _u32(1)).astype(jnp.int32)
                 F = ((b4[1] << 3) | (b4[0] << 2)
-                     | (_fetch_bit(g2, (b, a0 // 2 + 1, idx), pos) << 1)
-                     | _fetch_bit(words, (b, t0 + 3, idx), pos))
+                     | (_fetch_bit(g2, (a0 // 2 + 1, b, idx), pos) << 1)
+                     | _fetch_bit(words, (t0 + 3, b, idx), pos))
             elif width == 2:
-                F = ((_fetch_bit(g2, (b, a0 // 2, idx), pos) << 1)
-                     | _fetch_bit(words, (b, t0 + 1, idx), pos))
+                F = ((_fetch_bit(g2, (a0 // 2, b, idx), pos) << 1)
+                     | _fetch_bit(words, (t0 + 1, b, idx), pos))
             else:
-                F = _fetch_bit(words, (b, t0, idx), pos)
+                F = _fetch_bit(words, (t0, b, idx), pos)
             state[b] = (s >> width) | (F << (n - width))
             seg_F.append(F)
         pieces[t0] = (jnp.stack(seg_F), width)

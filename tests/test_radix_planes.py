@@ -4,6 +4,7 @@ walk, the kernel-emitted G_2 plane, and the dispatch route.
 The plane tables are pure function composition over the decision words, so
 agreement must hold for ARBITRARY word contents (random words walk arbitrary
 survivor paths), any endstate, any anchor, and any T (remainder segments).
+Plane arrays are time-major [T, B, W]; the plain walk is batch-major.
 """
 
 import jax.numpy as jnp
@@ -25,7 +26,7 @@ K10 = CodeSpec("k10test", K=10, R=2, polys=(0o1234, 0o1571))
 
 
 def test_plane_plan_covers_and_aligns():
-    for T, anchor in [(87, 0), (87, 22), (64, 0), (45, 8), (96, 14), (30, 23)]:
+    for T, anchor in [(87, 0), (87, 23), (64, 0), (45, 8), (96, 14), (30, 23)]:
         segs = rp.plane_plan(T, anchor)
         covered = [t for t0, w in segs for t in range(t0, t0 + w)]
         assert sorted(covered) == list(range(anchor, T))
@@ -36,11 +37,10 @@ def test_plane_plan_covers_and_aligns():
 
 
 def test_plane_plan_bench_frame_is_pure_windows():
-    # The reference's K=24 bench frame: 8 bytes -> T = 87, anchor = 22:
-    # one single-bit segment at the top, then eight full windows.
-    segs = rp.plane_plan(87, 22)
-    assert segs[0] == (86, 1)
-    assert [w for _, w in segs[1:]] == [8] * 8
+    # The reference's K=24 bench frame: 8 bytes -> T = 87, anchor = K-1 =
+    # 23: exactly eight full windows, no remainder segments.
+    segs = rp.plane_plan(87, 23)
+    assert [w for _, w in segs] == [8] * 8
 
 
 @pytest.mark.parametrize("code,T,B", [
@@ -54,12 +54,13 @@ def test_plane_walk_matches_plain_walk_on_random_words(code, T, B, endstate):
     rng = np.random.default_rng(42)
     W = max(1, code.num_states // 32)
     words = jnp.asarray(rng.integers(0, 2**32, size=(B, T, W), dtype=np.uint32))
+    words_tm = words.transpose(1, 0, 2)
     nbits = (T - code.K + 1) // 8 * 8
     ref_bits, _ = cb.chainback_bits(code, words, nbits, endstate)
-    for anchor in (0, (code.K - 1) & ~1):
-        tabs = rp.build_plane_tables(code, words, anchor)
+    for anchor in (0, code.K - 1):
+        tabs = rp.build_plane_tables(code, words_tm, anchor)
         got_bits, _ = rp.chainback_plane_bits(
-            code, words, tabs, nbits, endstate, anchor)
+            code, words_tm, tabs, nbits, endstate, anchor)
         np.testing.assert_array_equal(np.asarray(ref_bits), np.asarray(got_bits))
 
 
@@ -69,9 +70,10 @@ def test_plane_anchor_zero_matches_full_walk_state():
     rng = np.random.default_rng(3)
     W = code.num_states // 32
     words = jnp.asarray(rng.integers(0, 2**32, size=(B, T, W), dtype=np.uint32))
+    words_tm = words.transpose(1, 0, 2)
     ref_bits, ref_ss = cb.chainback_bits(code, words, 16, 7)
-    tabs = rp.build_plane_tables(code, words, 0)
-    got_bits, got_ss = rp.chainback_plane_bits(code, words, tabs, 16, 7, 0)
+    tabs = rp.build_plane_tables(code, words_tm, 0)
+    got_bits, got_ss = rp.chainback_plane_bits(code, words_tm, tabs, 16, 7, 0)
     np.testing.assert_array_equal(np.asarray(ref_bits), np.asarray(got_bits))
     np.testing.assert_array_equal(np.asarray(ref_ss), np.asarray(got_ss))
 
@@ -90,32 +92,44 @@ def test_kernel_g2_matches_jnp_builder():
     np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
     np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
     np.testing.assert_array_equal(np.asarray(off_a), np.asarray(off_b))
-    tabs = rp.build_plane_tables(code, w_a, 0)
-    np.testing.assert_array_equal(np.asarray(g2), np.asarray(tabs["g2"]))
+    tabs = rp.build_plane_tables(code, w_a.transpose(1, 0, 2), 0)
+    np.testing.assert_array_equal(
+        np.asarray(g2.transpose(1, 0, 2)), np.asarray(tabs["g2"]))
 
 
-def test_plane_roundtrip_decode_with_kernel_g2():
-    """End-to-end: large_k2 update with kernel G_2 -> anchored plane tables
-    -> byte-table walk recovers the data bit-exactly (the dispatch route)."""
+def test_time_major_words_match_batch_major():
+    code, numeric = K11, soft8_spec(2)
+    rng = np.random.default_rng(9)
+    B, T = 2, 21  # odd T exercises the single-step tail in both layouts
+    syms = jnp.asarray(rng.integers(-3, 4, size=(B, T, 2)).astype(np.int32))
+    m0 = acs.init_metrics(code, numeric, B)
+    m_a, w_a, off_a = large_k2.acs_update_large2(code, numeric, m0, syms, True)
+    m_b, w_tm, off_b = large_k2.acs_update_large2(
+        code, numeric, m0, syms, True, None, False, True)
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    np.testing.assert_array_equal(
+        np.asarray(w_a), np.asarray(w_tm.transpose(1, 0, 2)))
+
+
+def test_plane_roundtrip_decode_dispatch_route():
+    """End-to-end as dispatched for K>15: time-major update output ->
+    anchored plane tables -> byte-table walk recovers the data exactly."""
     code, numeric = K11, soft8_spec(2)
     rng = np.random.default_rng(11)
     B, nbytes = 2, 8
     data = rng.integers(0, 256, size=(B, nbytes), dtype=np.uint8)
     syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
     m0 = acs.init_metrics(code, numeric, B)
-    _, words, g2k, _ = large_k2.acs_update_large2(
-        code, numeric, m0, syms.astype(jnp.int32), True, None, True)
-    T = words.shape[1]
-    anchor = (code.K - 1) & ~1
-    n2 = (T - anchor) // 2
-    g2 = g2k[:, anchor // 2 : anchor // 2 + n2]
-    tabs = rp.build_plane_tables(code, words, anchor, g2)
-    out = rp.chainback_planes(code, words, tabs, nbytes * 8, 0, anchor)
+    _, w_tm, _ = large_k2.acs_update_large2(
+        code, numeric, m0, syms.astype(jnp.int32), True, None, False, True)
+    anchor = code.K - 1
+    tabs = rp.build_plane_tables(code, w_tm, anchor)
+    out = rp.chainback_planes(code, w_tm, tabs, nbytes * 8, 0, anchor)
     assert count_bit_errors(np.asarray(out), data) == 0
 
 
 def test_plane_tables_reject_small_trellis():
     small = CodeSpec("k9", K=9, R=2, polys=(0x1AF, 0x11D))
-    words = jnp.zeros((1, 16, 8), jnp.uint32)
+    words = jnp.zeros((16, 1, 8), jnp.uint32)
     with pytest.raises(ValueError):
         rp.build_plane_tables(small, words, 0)
