@@ -44,6 +44,98 @@ from ..utils.bits import bits_to_bytes
 
 __all__ = ["state_sharded_decode", "state_sharded_decode_bits"]
 
+# ---------------------------------------------------------------------------
+# Shared state-sharded building blocks (used here and by parallel.state_time's
+# composed state x time mesh).  All run INSIDE a shard_map over `state_axis`.
+# ---------------------------------------------------------------------------
+
+
+def butterfly_perms(n_dev: int):
+    """``ppermute`` plans for the butterfly halves.  Receiver d needs, as
+    half-shard chunks of the OLD metric vector:
+
+    * ``old_lo``: global old states ``[d*chunk, (d+1)*chunk)`` -> source
+      device ``d // 2``, half ``d % 2`` of its shard;
+    * ``old_hi``: global old states ``[S/2 + d*chunk, S/2 + (d+1)*chunk)``
+      -> source device ``(n + d) // 2``, half ``(n + d) % 2``
+      (``S/2 = n*chunk``, and a shard holds 2 chunks).
+
+    One ppermute per (target-chunk, source-half) pair; devices missing from a
+    permutation receive zeros, so the two halves sum cleanly."""
+
+    def _half_perm(src, half_sel, which):
+        return [(src(t), t) for t in range(n_dev) if half_sel(t) == which]
+
+    perm_lo = [
+        _half_perm(lambda t: t // 2, lambda t: t % 2, w) for w in (0, 1)
+    ]
+    perm_hi = [
+        _half_perm(lambda t: (n_dev + t) // 2, lambda t: (n_dev + t) % 2, w)
+        for w in (0, 1)
+    ]
+    return perm_lo, perm_hi
+
+
+def _exchange(m_local, chunk, state_axis, perm_lo, perm_hi):
+    """Old metrics ``[B, n_local]`` -> ``(old_lo, old_hi)`` each ``[B, chunk]``
+    for the local s2 range (two half-shard ppermutes per half over ICI)."""
+    halves = (m_local[:, :chunk], m_local[:, chunk:])
+    lo = jax.lax.ppermute(halves[0], state_axis, perm_lo[0]) + \
+         jax.lax.ppermute(halves[1], state_axis, perm_lo[1])
+    hi = jax.lax.ppermute(halves[0], state_axis, perm_hi[0]) + \
+         jax.lax.ppermute(halves[1], state_axis, perm_hi[1])
+    return lo, hi
+
+
+def _sharded_acs_scan(code, numeric, m_local0, sym, state_axis, n_dev,
+                      s2_block, record: bool):
+    """State-sharded ACS over ``sym [B, Tloc, R]`` (replicated) from local
+    metrics ``m_local0 [B, n_local]``.  Returns ``(m_final, dec_local)``
+    where ``dec_local`` is ``[Tloc, B, n_local]`` bool if ``record`` else
+    ``None``."""
+    S = code.num_states
+    chunk = S // (2 * n_dev)
+    B, _, _ = sym.shape
+    n_local = S // n_dev
+    perm_lo, perm_hi = butterfly_perms(n_dev)
+
+    def body(m_local, sym_t):
+        old_lo, old_hi = _exchange(m_local, chunk, state_axis, perm_lo, perm_hi)
+        pens = _local_penalties(code, numeric, sym_t, s2_block)
+        cands = []
+        decs = []
+        for b in (0, 1):
+            c_lo = old_lo + pens[(0, b)]
+            c_hi = old_hi + pens[(1, b)]
+            dsel = c_hi < c_lo
+            cands.append(jnp.where(dsel, c_hi, c_lo))
+            decs.append(dsel)
+        new = jnp.stack(cands, axis=-1).reshape(B, n_local)
+        dec = jnp.stack(decs, axis=-1).reshape(B, n_local)
+        return new, (dec if record else None)
+
+    return jax.lax.scan(body, m_local0, sym.transpose(1, 0, 2))
+
+
+def _sharded_traceback(code, dec_local, end, base, state_axis):
+    """Serial traceback over state-sharded decisions ``[Tloc, B, n_local]``;
+    the bit at each step is recovered with a ``psum`` of the owning device's
+    one-hot-selected decision (O(Tloc) collectives -- see the scaling note in
+    :func:`state_sharded_decode_bits`).  Returns bits ``[B, Tloc]`` uint8."""
+    K = code.K
+    n_local = dec_local.shape[-1]
+    local_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1) + base
+
+    def tb_body(state, dec_t):
+        owner_sel = (local_iota == state[:, None]).astype(jnp.int32)
+        k = jax.lax.psum((owner_sel * dec_t.astype(jnp.int32)).sum(axis=1),
+                         state_axis)
+        new_state = (state >> 1) | (k << (K - 2))
+        return new_state, k.astype(jnp.uint8)
+
+    _, ks = jax.lax.scan(tb_body, end, dec_local, reverse=True)
+    return ks.transpose(1, 0)
+
 
 def _parity_of(x: jnp.ndarray) -> jnp.ndarray:
     """Bitwise parity of int32 values (vectorised XOR fold)."""
@@ -127,73 +219,19 @@ def state_sharded_decode_bits(
         on_dev0 = (d == 0).astype(jnp.int32)
         m_local0 = m_local0.at[:, 0].add(-numeric.initial_margin * on_dev0)
 
-        # ppermute plans for the butterfly halves.  Receiver d needs, as
-        # half-shard chunks of the OLD metric vector:
-        #   old_lo: global old states [d*chunk, (d+1)*chunk)
-        #           -> source device d // 2, half d % 2 of its shard;
-        #   old_hi: global old states [S/2 + d*chunk, S/2 + (d+1)*chunk)
-        #           -> source device (n + d) // 2, half (n + d) % 2
-        #           (S/2 = n*chunk, and a shard holds 2 chunks).
-        # One ppermute per (target-chunk, source-half) pair; devices missing
-        # from a permutation receive zeros, so the two halves sum cleanly.
-        def _half_perm(src, half_sel, which):
-            return [(src(t), t) for t in range(n_dev) if half_sel(t) == which]
-
-        perm_lo = [
-            _half_perm(lambda t: t // 2, lambda t: t % 2, w) for w in (0, 1)
-        ]
-        perm_hi = [
-            _half_perm(lambda t: (n_dev + t) // 2, lambda t: (n_dev + t) % 2, w)
-            for w in (0, 1)
-        ]
-
-        def exchange(m_local):
-            """Old metrics [B, n_local] -> (old_lo [B, chunk], old_hi [B, chunk])
-            for the local s2 range."""
-            halves = (m_local[:, :chunk], m_local[:, chunk:])
-            lo = jax.lax.ppermute(halves[0], state_axis, perm_lo[0]) + \
-                 jax.lax.ppermute(halves[1], state_axis, perm_lo[1])
-            hi = jax.lax.ppermute(halves[0], state_axis, perm_hi[0]) + \
-                 jax.lax.ppermute(halves[1], state_axis, perm_hi[1])
-            return lo, hi
-
-        def body(m_local, sym_t):
-            old_lo, old_hi = exchange(m_local)
-            pens = _local_penalties(code, numeric, sym_t, s2_block)
-            cands = []
-            decs = []
-            for b in (0, 1):
-                c_lo = old_lo + pens[(0, b)]
-                c_hi = old_hi + pens[(1, b)]
-                dsel = c_hi < c_lo
-                cands.append(jnp.where(dsel, c_hi, c_lo))
-                decs.append(dsel)
-            new = jnp.stack(cands, axis=-1).reshape(B, n_local)
-            dec = jnp.stack(decs, axis=-1).reshape(B, n_local)
-            return new, dec
-
-        m_final, dec_local = jax.lax.scan(body, m_local0, sym.transpose(1, 0, 2))
+        m_final, dec_local = _sharded_acs_scan(
+            code, numeric, m_local0, sym, state_axis, n_dev, s2_block, True)
         # dec_local: [T, B, n_local] bool, sharded by state.
 
         # Serial traceback, bit recovered by the owning device each step.
         # NOTE scaling limit: this is O(T) psum collectives (one per trellis
         # step) plus an O(n_local) ownership mask per step -- fine for the
         # short ICE frames this sharding exists for (T = 87 at 8 data
-        # bytes), but a long K=24 stream should instead gather the decision
-        # history to one device per time-block and walk it there (cf.
-        # parallel/timeblock.py), or accept ~T x collective latency.
-        local_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_local), 1) + base
-
-        def tb_body(state, dec_t):
-            owner_sel = (local_iota == state[:, None]).astype(jnp.int32)  # [B, n_local]
-            k = jax.lax.psum((owner_sel * dec_t.astype(jnp.int32)).sum(axis=1),
-                             state_axis)
-            new_state = (state >> 1) | (k << (K - 2))
-            return new_state, k.astype(jnp.uint8)
-
+        # bytes), but a long K=24 stream should decode on a composed
+        # state x time mesh instead (parallel/state_time.py), which keeps
+        # every traceback inside one time block.
         end = jnp.zeros((B,), dtype=jnp.int32)  # tail-terminated
-        _, ks = jax.lax.scan(tb_body, end, dec_local, reverse=True)
-        return ks.transpose(1, 0)  # [B, T]
+        return _sharded_traceback(code, dec_local, end, base, state_axis)
 
     return run(symbols)
 
