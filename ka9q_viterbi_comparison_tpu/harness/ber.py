@@ -48,9 +48,18 @@ def measure_ber(
     min_errors: int = 100,
     max_bits: int = 10_000_000,
     seed: int = 0,
+    decode=None,
 ) -> BerPoint:
     """Monte-Carlo BER at one operating point: decode batches of AWGN frames
-    until ``min_errors`` bit errors or ``max_bits`` decoded."""
+    until ``min_errors`` bit errors or ``max_bits`` decoded.
+
+    ``decode(symbols [B, T*R]) -> bytes [B, N]`` defaults to the fused jnp
+    pipeline; pass a Pallas-backed decoder for the configs where the kernel
+    route is decisively faster (K=24 is ~15x -- Monte-Carlo at its
+    operating points is otherwise impractical)."""
+    if decode is None:
+        def decode(syms):
+            return decode_symbols(code, numeric, syms, frame_bytes * 8)
     rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
     bits = errors = frames = frame_errors = 0
@@ -58,7 +67,7 @@ def measure_ber(
         key, sub = jax.random.split(key)
         data = rng.integers(0, 256, size=(batch, frame_bytes), dtype=np.uint8)
         syms = awgn_symbols(code, numeric, sub, jnp.asarray(data), ebn0_db)
-        out = np.asarray(decode_symbols(code, numeric, syms, frame_bytes * 8))
+        out = np.asarray(decode(syms))
         frame_err = (out != data).any(axis=1)
         errors += count_bit_errors(out, data)
         frame_errors += int(frame_err.sum())

@@ -353,10 +353,11 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
         # bound by serialized dependent fetches (~1.2 us per 4-byte word,
         # one per frame per trellis step), so the update phase additionally
         # builds the bit-plane radix tables (ops/radix_planes.py: word-
-        # parallel residue-sliced combines over TIME-MAJOR planes, F_8
-        # byte-packed) and the traceback retires 8 steps per single-word
-        # fetch -- measured 17.3 Mbit/s aggregate at B=4 vs 0.37 M for the
-        # plain walk (tools/k24_plane_probe.py).
+        # parallel combines over TIME-MAJOR planes, F_4 nibble-packed) and
+        # the traceback retires W_WALK=4 steps per single-word fetch --
+        # measured 7.6 Mbit/s aggregate at B=4 vs 0.30 M for the plain walk,
+        # with the repack adding 45% to the update phase, both phases still
+        # beating the reference (tools/k24_plane_probe.py).
         from . import large_k2
         from .. import radix_planes as rp
 

@@ -1,4 +1,4 @@
-"""Bit-plane radix traceback: one dependent fetch per 8 trellis steps.
+"""Bit-plane radix traceback: one dependent fetch per W_WALK trellis steps.
 
 The K=24 traceback is bound by serialized dependent-fetch latency (~1.2 us
 per fetch, one per frame per trellis step -- RESULTS.md), so the fix is to
@@ -36,13 +36,21 @@ three structural moves:
    arrays are TIME-MAJOR (``[T, B, W]`` -- the update scan's native output
    order), so every window selection is a cheap leading-axis slice and the
    producer never pays a batch-major transpose of the 348 MiB K=24 word
-   tensor.  The 8 field bits of every full window are byte-packed per state
-   into one uint32 table so the walk issues ONE single-word fetch per
-   window per frame, and windows are anchored at ``t = anchor (mod 8)``
-   with ``anchor = K-1`` for frame decodes: the walk stops at the first
-   kept data bit, which for the reference's 8-byte K=24 frames (T = 87,
-   ref: src/main.cpp:411-414) means exactly 8 fetch rounds and no remainder
-   segments at all.
+   tensor.  The field bits of every full window are nibble-packed (width 4;
+   byte-packed at width 8) per state into one uint32 table so the walk
+   issues ONE single-word fetch per window per frame, and windows are
+   anchored at ``t = anchor (mod width)`` with ``anchor = K-1`` for frame
+   decodes: the walk stops at the first kept data bit, which for the
+   reference's 8-byte K=24 frames (T = 87, ref: src/main.cpp:411-414) means
+   exactly 16 (or 8) fetch rounds and no remainder segments at all.
+
+Measured on v5e at K=24 bench shapes (B=4, T=87; tools/k24_plane_probe.py,
+tools/repack_marginal.py): width-4 repack 49 ms marginal riding a ~148 ms
+update (update+repack 3.24 ksym/s vs the reference's best 2.82 k), walk
+7.6 Mbit/s aggregate vs the reference's 3.41-3.68 M chainback and 0.30 M
+for the plain per-step walk here.  Width 8 doubles the walk (17 Mbit/s)
+but its 16-candidate v=4 combine more than doubles the repack (117 ms),
+dropping update+repack below the reference -- so 4 is the default.
 
 Semantics match ``ops.chainback`` exactly (decision bit k at step t, state s
 => decoded bit t = k, next state ``(s>>1) | (k << (K-2))``, ref:
@@ -69,18 +77,27 @@ __all__ = ["build_plane_tables", "chainback_plane_bits", "chainback_planes",
            "plane_plan", "MIN_N", "W_WALK"]
 
 MIN_N = 9   # minimum K-1: the v=4 combine reads 2-bit runs from W>=16 words
-W_WALK = 8  # steps retired per dependent fetch
+
+# Steps retired per dependent fetch.  4 is the measured sweet spot on v5e
+# (tools/repack_marginal.py + tools/k24_plane_probe.py): the width-8 table
+# needs the 16-candidate v=4 combine, ~70 ms of repack riding the update
+# phase for a 2x walk speedup the chainback doesn't need (walk fetches
+# pipeline across frames at ~0.5 us each); width-4's repack is ~4x cheaper
+# and its walk still beats the reference's chainback >2x.  Width 8 remains
+# available (build with ``max_width=8``).
+W_WALK = 4
 
 
-def plane_plan(T: int, anchor: int) -> list[tuple[int, int]]:
+def plane_plan(T: int, anchor: int, max_width: int = W_WALK) -> list[tuple[int, int]]:
     """Segments ``(t0, width)`` covering [anchor, T), walk (descending-t)
-    order.  Full 8-windows at ``t0 = anchor (mod 8)``; the remainder below T
-    is covered by descending power-of-two widths, each ending on a multiple
-    of its width (relative to anchor) so its tables exist."""
+    order.  Full ``max_width``-windows at ``t0 = anchor (mod max_width)``;
+    the remainder below T is covered by descending power-of-two widths, each
+    ending on a multiple of its width (relative to anchor) so its tables
+    exist."""
     segs: list[tuple[int, int]] = []
     t = T
     while t > anchor:
-        width = W_WALK
+        width = max_width
         while width > 1 and (t - width < anchor or (t - anchor) % width):
             width //= 2
         segs.append((t - width, width))
@@ -120,43 +137,50 @@ def _plane_gather(lo_planes, f_planes, v: int):
     plane; ``F(s)``'s bit j is ``f_planes[j]``.  All canonical packed
     ``[..., W]`` uint32 bit planes over the state axis (any leading dims).
 
-    Residue-sliced: output word ``k = q*2^v + r`` takes bits
-    ``[r*nb, (r+1)*nb)`` of lo word ``q`` in candidate region c (``nb =
-    32>>v``), so for fixed r everything is elementwise over q at full lane
-    width; the hi-window mask planes are transposed to ``[2^v(r), Q]`` once
-    and the accumulated output transposed back once per plane.
+    Canonical formulation, no transposes: output word ``k = q*2^v + r``
+    takes bits ``[r*nb, (r+1)*nb)`` of lo word ``q`` in candidate region c
+    (``nb = 32>>v``; region c = the contiguous word slice [c*Q, (c+1)*Q)).
+    Realised as: repeat each source word 2^v times along the word axis (a
+    lane-dim broadcast+reshape -- the only layout op), shift by the
+    iota-derived ``nb*(k mod 2^v)``, mask, spread; the candidate masks are
+    plain word-wise ANDs of the hi-window planes in their native layout.
+    Everything stays elementwise over canonical ``[.., W]`` arrays -- the
+    minor-axis ``swapaxes`` of the previous formulation relaid out every
+    mask/output plane per level and made the v=4 level 6x slower than this
+    on v5e (133 -> ~30 ms whole-repack at K=24 bench shapes).
     """
     W = lo_planes[0].shape[-1]
     Q = W >> v
     nb = 32 >> v
     lead = lo_planes[0].shape[:-1]
-    # [.., Q, 2^v] -> [.., 2^v, Q]: element (r, q) = plane word q*2^v + r
-    f_t = [p.reshape(*lead, Q, 1 << v).swapaxes(-1, -2) for p in f_planes]
-    lo_r = [p.reshape(*lead, 1 << v, Q) for p in lo_planes]
+    # (Measured and rejected on v5e: flattening the leading dims to fill
+    # sublane tiles wins 1.7x on isolated contiguous inputs but LOSES 1.7x
+    # in the fused pipeline, where the reshape of strided window slices
+    # forces extra copies -- tools/repack_marginal.py, 108 vs 181 ms.)
     run_mask = _u32((1 << nb) - 1)
     full = _u32(0xFFFFFFFF)
-    # All r-residues in one broadcasted shift (NOT a per-r stack: XLA stops
-    # fusing the concatenate at large leading dims and every candidate
-    # round-trips HBM -- measured 8x on the v=4 level at K=24 shapes).
-    r_shift = (jnp.arange(1 << v, dtype=jnp.uint32) * _u32(nb)).reshape(
-        *([1] * len(lead)), 1 << v, 1)
+    r_shift = (jax.lax.broadcasted_iota(jnp.uint32, (W,), 0)
+               & _u32((1 << v) - 1)) * _u32(nb)
     accs = [None] * len(lo_planes)
     for c in range(1 << v):
         m = full
         for j in range(v):
-            pj = f_t[j]
+            pj = f_planes[j]
             m = m & (pj if (c >> j) & 1 else ~pj)
-        for i, lp in enumerate(lo_r):
-            src = lp[..., c, :]  # [.., Q]
-            cand = _spread((src[..., None, :] >> r_shift) & run_mask, v)
-            cand = m & cand  # [.., 2^v, Q]
+        for i, lp in enumerate(lo_planes):
+            src = lp[..., c * Q : (c + 1) * Q]  # [.., Q]
+            rep = jnp.broadcast_to(
+                src[..., :, None], (*src.shape, 1 << v)
+            ).reshape(*src.shape[:-1], W)
+            cand = m & _spread((rep >> r_shift) & run_mask, v)
             accs[i] = cand if accs[i] is None else accs[i] | cand
-    return [a.swapaxes(-1, -2).reshape(*lead, W) for a in accs]
+    return [a.reshape(*lead, W) for a in accs]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(jax.jit, static_argnums=(0, 2, 4))
 def build_plane_tables(code: CodeSpec, words: jnp.ndarray, anchor: int = 0,
-                       g2: jnp.ndarray | None = None) -> dict:
+                       g2: jnp.ndarray | None = None,
+                       max_width: int = W_WALK) -> dict:
     """Build the G-level bit-plane tables from TIME-MAJOR decision words
     ``[T, B, W]`` (the update scan's native order; ``[B, T, W]`` callers
     pass ``words.transpose(1, 0, 2)``).
@@ -166,24 +190,28 @@ def build_plane_tables(code: CodeSpec, words: jnp.ndarray, anchor: int = 0,
     bit (``anchor = 0`` reproduces a full walk to t=0).  Steps below
     ``anchor`` get no windows.
 
-    Returns::
+    Returns (``max_width = 4``, the default)::
 
-        {"f8":  [n8, 8, B, W],   # byte-packed F_8: state s's field in byte
-                                 #   s&3 of word (d=(s>>2)&7, word s>>5)
+        {"f4":  [n4, 4, B, W],   # nibble-packed F_4: state s's field in
+                                 #   nibble (s>>2)&7 of word (d=s&3, s>>5)
          "g4":  [2*n4, B, W],    # G_4 bit j of window p at row 2p+j
          "g2":  [n2, B, W]}      # G_2 of window p
 
-    (uint32 canonical planes -- bit ``s & 31`` of word ``s >> 5``).  The
-    width-4/2/1 remainder segments of :func:`plane_plan` read ``g4``/
-    ``g2``/``words`` directly.  ``g2`` may be supplied by the producer
-    (``ops.pallas.large_k2``'s ``want_g2`` emits it elementwise in VMEM;
-    only valid for even anchors since kernel pairs anchor at even t) --
-    measured on v5e the jnp v=1 combine is cheaper than the kernel
-    emission's extra DMA, so the default route builds it here.
+    plus ``"f8": [n8, 8, B, W]`` (byte-packed F_8, state s in byte s&3 of
+    word (d=(s>>2)&7, s>>5)) when ``max_width = 8``.  All uint32 canonical
+    planes -- bit ``s & 31`` of word ``s >> 5``.  The width-2/1 remainder
+    segments of :func:`plane_plan` read ``g2``/``words`` directly.  ``g2``
+    may be supplied by the producer (``ops.pallas.large_k2``'s ``want_g2``
+    emits it elementwise in VMEM; only valid for even anchors since kernel
+    pairs anchor at even t) -- measured on v5e the jnp v=1 combine is
+    cheaper than the kernel emission's extra DMA, so the default route
+    builds it here.
     """
     n = code.K - 1
     if n < MIN_N:
         raise ValueError(f"plane tables need K-1 >= {MIN_N}, got {n}")
+    if max_width not in (4, 8):
+        raise ValueError(f"max_width must be 4 or 8, got {max_width}")
     T, B, W = words.shape
     Tn = T - anchor
     tables: dict[str, jnp.ndarray] = {}
@@ -208,33 +236,46 @@ def build_plane_tables(code: CodeSpec, words: jnp.ndarray, anchor: int = 0,
     g4_0, g4_1 = _plane_gather([d1_lo, g2_lo], [d1_hi, g2_hi], 2)
     tables["g4"] = jnp.stack([g4_0, g4_1], axis=1).reshape(2 * n4, B, W)
 
-    # Level 8: window [a+8p, a+8p+8).  F_4 = (G_4 << 2) | (G_2 << 1) |
-    # D(last); hi 4-window = [a+8p+4, a+8p+8), lo = [a+8p, a+8p+4).
-    n8 = Tn // 8
-    d3_lo = words[anchor + 3 : anchor + 8 * n8 : 8]
-    d3_hi = words[anchor + 7 : anchor + 8 * n8 : 8]
-    g2_4lo = g2[1 : 4 * n8 : 4]
-    g2_4hi = g2[3 : 4 * n8 : 4]
-    g4l = [g4_0[0 : 2 * n8 : 2], g4_1[0 : 2 * n8 : 2]]
-    g4h = [g4_0[1 : 2 * n8 : 2], g4_1[1 : 2 * n8 : 2]]
-    g8 = _plane_gather([d3_lo, g2_4lo, g4l[0], g4l[1]],
-                       [d3_hi, g2_4hi, g4h[0], g4h[1]], 4)
-    # Byte-pack the full field: f8[p, d, b, w] holds F_8 of states
-    # ``32w + 4d + e`` in byte e, so the walk's whole 8-bit field is ONE
-    # single-word fetch (a strided multi-plane slice costs ~10x a one-word
-    # fetch on this platform).  The low nibble of F_8 IS F_4^{hi} (the mask
-    # planes above).
-    planes = [d3_hi, g2_4hi, g4h[0], g4h[1], *g8]
-    nib = jnp.arange(8, dtype=jnp.uint32).reshape(1, 8, 1, 1) * _u32(4)
-    f8 = None
-    for j, p in enumerate(planes):
-        x = (p[:, None, :, :] >> nib) & _u32(0xF)
-        # bit i of the nibble -> bit 8i (byte i's LSB)
-        x = (x | (x << 14)) & _u32(0x00030003)
-        x = (x | (x << 7)) & _u32(0x01010101)
-        x = x << j
-        f8 = x if f8 is None else f8 | x
-    tables["f8"] = f8  # [n8, 8, B, W]
+    # Nibble-pack F_4 = (G_4 << 2) | (G_2 << 1) | D(last) so the width-4
+    # walk issues ONE single-word fetch per window per frame (a strided
+    # multi-plane slice costs ~10x a one-word fetch on this platform).
+    # f4[p, d] nibble e holds F_4(32w + 4e + d): bit j's nibble-LSB plane
+    # for a fixed d is simply ``(plane_j >> d) & 0x11111111``.
+    f4 = None
+    d_shift = jnp.arange(4, dtype=jnp.uint32).reshape(1, 4, 1, 1)
+    for j, p in enumerate([d1_hi, g2_hi, g4_0, g4_1]):
+        x = (p[:, None, :, :] >> d_shift) & _u32(0x11111111)
+        f4 = x << j if f4 is None else f4 | (x << j)
+    tables["f4"] = f4  # [n4, 4, B, W]
+
+    if max_width == 8:
+        # Level 8: window [a+8p, a+8p+8).  The 16-candidate v=4 combine is
+        # the expensive level (~70 ms at K=24 bench shapes, ~4x the rest
+        # combined -- tools/repack_marginal.py), so it is opt-in: the
+        # width-8 walk only halves already-pipelined ~0.5 us fetches.
+        n8 = Tn // 8
+        d3_lo = words[anchor + 3 : anchor + 8 * n8 : 8]
+        d3_hi = words[anchor + 7 : anchor + 8 * n8 : 8]
+        g2_4lo = g2[1 : 4 * n8 : 4]
+        g2_4hi = g2[3 : 4 * n8 : 4]
+        g4l = [g4_0[0 : 2 * n8 : 2], g4_1[0 : 2 * n8 : 2]]
+        g4h = [g4_0[1 : 2 * n8 : 2], g4_1[1 : 2 * n8 : 2]]
+        g8 = _plane_gather([d3_lo, g2_4lo, g4l[0], g4l[1]],
+                           [d3_hi, g2_4hi, g4h[0], g4h[1]], 4)
+        # Byte-pack the full field: f8[p, d, b, w] holds F_8 of states
+        # ``32w + 4d + e`` in byte e.  The low nibble of F_8 IS F_4^{hi}
+        # (the mask planes above).
+        planes = [d3_hi, g2_4hi, g4h[0], g4h[1], *g8]
+        nib = jnp.arange(8, dtype=jnp.uint32).reshape(1, 8, 1, 1) * _u32(4)
+        f8 = None
+        for j, p in enumerate(planes):
+            x = (p[:, None, :, :] >> nib) & _u32(0xF)
+            # bit i of the nibble -> bit 8i (byte i's LSB)
+            x = (x | (x << 14)) & _u32(0x00030003)
+            x = (x | (x << 7)) & _u32(0x01010101)
+            x = x << j
+            f8 = x if f8 is None else f8 | x
+        tables["f8"] = f8  # [n8, 8, B, W]
     return tables
 
 
@@ -253,7 +294,8 @@ def chainback_plane_bits(
     anchor: int = 0,
 ):
     """Traceback over the plane tables built at the same ``anchor``:
-    one dependent fetch per frame per 8-step window.
+    one dependent fetch per frame per window (width 4 by default, 8 when
+    the tables were built with ``max_width=8``).
 
     ``words`` is TIME-MAJOR ``[T, B, W]`` like the tables.  Walks from
     t = T down to t = ``anchor`` only -- decoded bits below ``K-1`` are
@@ -267,12 +309,13 @@ def chainback_plane_bits(
     n = code.K - 1
     if anchor > n:
         raise ValueError("anchor must be <= K-1 (kept bits start at K-1)")
-    g2, g4, f8 = tables["g2"], tables["g4"], tables["f8"]
+    g2, f4 = tables["g2"], tables["f4"]
+    f8 = tables.get("f8")
     mask = jnp.int32(code.num_states - 1)
     state = list(jnp.broadcast_to(
         jnp.asarray(endstate, dtype=jnp.int32) & mask, (B,)))
 
-    segs = plane_plan(T, anchor)
+    segs = plane_plan(T, anchor, 8 if f8 is not None else 4)
     pieces: dict[int, tuple] = {}
     for t0, width in segs:
         a0 = t0 - anchor
@@ -288,12 +331,10 @@ def chainback_plane_bits(
                 F = ((word >> ((s & 3) * 8).astype(jnp.uint32))
                      & _u32(0xFF)).astype(jnp.int32)
             elif width == 4:
-                w4 = jax.lax.dynamic_slice(
-                    g4, (2 * (a0 // 4), b, idx), (2, 1, 1)).reshape(2)
-                b4 = ((w4 >> pos.astype(jnp.uint32)) & _u32(1)).astype(jnp.int32)
-                F = ((b4[1] << 3) | (b4[0] << 2)
-                     | (_fetch_bit(g2, (a0 // 2 + 1, b, idx), pos) << 1)
-                     | _fetch_bit(words, (t0 + 3, b, idx), pos))
+                word = jax.lax.dynamic_slice(
+                    f4, (a0 // 4, s & 3, b, idx), (1, 1, 1, 1)).reshape(())
+                F = ((word >> (((s >> 2) & 7) * 4).astype(jnp.uint32))
+                     & _u32(0xF)).astype(jnp.int32)
             elif width == 2:
                 F = ((_fetch_bit(g2, (a0 // 2, b, idx), pos) << 1)
                      | _fetch_bit(words, (t0 + 1, b, idx), pos))

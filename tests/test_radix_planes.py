@@ -26,21 +26,24 @@ K10 = CodeSpec("k10test", K=10, R=2, polys=(0o1234, 0o1571))
 
 
 def test_plane_plan_covers_and_aligns():
-    for T, anchor in [(87, 0), (87, 23), (64, 0), (45, 8), (96, 14), (30, 23)]:
-        segs = rp.plane_plan(T, anchor)
-        covered = [t for t0, w in segs for t in range(t0, t0 + w)]
-        assert sorted(covered) == list(range(anchor, T))
-        for t0, w in segs:
-            assert w in (1, 2, 4, 8) and (t0 - anchor) % w == 0
-        starts = [t0 for t0, _ in segs]
-        assert starts == sorted(starts, reverse=True)
+    for max_width in (4, 8):
+        for T, anchor in [(87, 0), (87, 23), (64, 0), (45, 8), (96, 14), (30, 23)]:
+            segs = rp.plane_plan(T, anchor, max_width)
+            covered = [t for t0, w in segs for t in range(t0, t0 + w)]
+            assert sorted(covered) == list(range(anchor, T))
+            for t0, w in segs:
+                assert w in (1, 2, 4, 8) and w <= max_width
+                assert (t0 - anchor) % w == 0
+            starts = [t0 for t0, _ in segs]
+            assert starts == sorted(starts, reverse=True)
 
 
 def test_plane_plan_bench_frame_is_pure_windows():
     # The reference's K=24 bench frame: 8 bytes -> T = 87, anchor = K-1 =
-    # 23: exactly eight full windows, no remainder segments.
-    segs = rp.plane_plan(87, 23)
-    assert [w for _, w in segs] == [8] * 8
+    # 23: exactly full windows, no remainder segments, at either width.
+    assert rp.W_WALK == 4
+    assert [w for _, w in rp.plane_plan(87, 23)] == [4] * 16
+    assert [w for _, w in rp.plane_plan(87, 23, 8)] == [8] * 8
 
 
 @pytest.mark.parametrize("code,T,B", [
@@ -50,7 +53,9 @@ def test_plane_plan_bench_frame_is_pure_windows():
     (K10, 50, 2),          # minimum supported K-1 = 9
 ])
 @pytest.mark.parametrize("endstate", [0, 5])
-def test_plane_walk_matches_plain_walk_on_random_words(code, T, B, endstate):
+@pytest.mark.parametrize("max_width", [4, 8])
+def test_plane_walk_matches_plain_walk_on_random_words(code, T, B, endstate,
+                                                       max_width):
     rng = np.random.default_rng(42)
     W = max(1, code.num_states // 32)
     words = jnp.asarray(rng.integers(0, 2**32, size=(B, T, W), dtype=np.uint32))
@@ -58,7 +63,8 @@ def test_plane_walk_matches_plain_walk_on_random_words(code, T, B, endstate):
     nbits = (T - code.K + 1) // 8 * 8
     ref_bits, _ = cb.chainback_bits(code, words, nbits, endstate)
     for anchor in (0, code.K - 1):
-        tabs = rp.build_plane_tables(code, words_tm, anchor)
+        tabs = rp.build_plane_tables(code, words_tm, anchor, None, max_width)
+        assert ("f8" in tabs) == (max_width == 8)
         got_bits, _ = rp.chainback_plane_bits(
             code, words_tm, tabs, nbits, endstate, anchor)
         np.testing.assert_array_equal(np.asarray(ref_bits), np.asarray(got_bits))

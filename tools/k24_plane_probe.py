@@ -36,7 +36,7 @@ code = VITERBI224
 numeric = soft8_spec(code.R)
 W = code.num_states // 32
 nbits = (T - code.K + 1) // 8 * 8
-ANCHOR = (code.K - 1) & ~1  # even: kernel g2 pairs anchor at even t
+ANCHOR = code.K - 1  # dispatch's anchor: first kept data bit (time-major route)
 rng = np.random.default_rng(0)
 LOG(f"B={B} T={T} W={W} nbits={nbits} anchor={ANCHOR}")
 
@@ -48,15 +48,16 @@ def make_update(with_planes: bool):
 
     @jax.jit
     def f(m, s):
+        # Mirrors ops/pallas/dispatch.py's plane route exactly: time-major
+        # words out of the kernel, jnp g2 (kernel emission measured slower),
+        # anchor at the first kept data bit.
         if with_planes:
-            m, w, g2k, off = large_k2.acs_update_large2.__wrapped__(
-                code, numeric, m, s, False, "int16", True)
-            n2 = (T - ANCHOR) // 2
-            g2 = g2k[:, ANCHOR // 2 : ANCHOR // 2 + n2]
-            tabs = rp.build_plane_tables.__wrapped__(code, w, ANCHOR, g2)
+            m, w, off = large_k2.acs_update_large2.__wrapped__(
+                code, numeric, m, s, False, "int16", False, True)
+            tabs = rp.build_plane_tables.__wrapped__(code, w, ANCHOR)
             return m, (w, tabs), off
         m, w, off = large_k2.acs_update_large2.__wrapped__(
-            code, numeric, m, s, False, "int16")
+            code, numeric, m, s, False, "int16", False, True)
         return m, (w, None), off
 
     def run():
@@ -77,7 +78,7 @@ def t_update(run):
     m, (w, tabs), off = run()
     sync(m)
     if tabs is not None:
-        sync(tabs["f8"])
+        sync(tabs["f4"])
     return time.perf_counter() - t0
 
 
@@ -101,6 +102,10 @@ def make_walk_chain(k, plane: bool):
 
         args = (w, tabs)
     else:
+        # plain walk consumes batch-major words; transpose once in setup so
+        # the timed chain never pays it
+        w = jax.block_until_ready(jnp.transpose(w, (1, 0, 2)))
+
         @jax.jit
         def runk(w, es0):
             out0, ss0 = cb.chainback_bits(code, w, nbits, es0)
