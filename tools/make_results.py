@@ -10,6 +10,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # package import for tools/check_results.py
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
@@ -21,6 +22,15 @@ def main() -> None:
     args = p.parse_args()
 
     from contextlib import redirect_stdout
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import check_results  # noqa: E402  (tools/)
+
+    problems = check_results.check(args.filename)
+    if problems:
+        for x in problems:
+            print(f"FAIL {x}", file=sys.stderr)
+        sys.exit(f"{args.filename} is not claim-grade; fix the run first")
 
     import tabulate_data  # noqa: E402  (scripts/)
 
@@ -53,19 +63,27 @@ harness/bench.py).  Families:
 
 Reference hardware numbers to compare against are in `BASELINE.md`.
 
-Known structural exception: the K=24 chainback phase. Its traceback needs one
-4-byte word per frame per step at a data-dependent offset in a 1 MiB decision
-row. The best formulation on this platform (per-frame `dynamic_slice`)
-measures ~1.2 µs per dependent fetch, serialized by XLA's sequential
-schedule, giving ~0.64 Mbit/s at any batch — the measured platform floor
-(the only parallel-fetch primitive, a Pallas async copy from HBM, does not
-compile on this toolchain; `tools/k24_cb_probe2.py`, and speculative
-traceback — fetching the 2^j candidate words whose addresses are pure
-functions of the block-entry state — is bit-exact but 3x slower, since
-every fetch pays the same per-op overhead; `tools/k24_cb_probe4.py`). The
-reference's CPU wins this single phase (3.4 M); it is ~100x cheaper than
-the K=24 symbol update in absolute terms, so end-to-end K=24 decode remains
-faster here.
+Phase-attribution note for K=24: the traceback's plain walk is bound by
+dependent-fetch latency (~1.2 µs per 4-byte word per frame per step —
+`tools/k24_cb_probe2.py`), so the pallas route retires W_WALK=4 steps per
+fetch from nibble-packed radix tables (`ops/radix_planes.py`). Building
+those tables is *pre-computation for the traceback but runs (and is timed)
+inside the update phase* — the published K=24 update rate already pays the
+~45 % repack surcharge, and both phases beat the reference with it
+included. The jnp/native columns keep the plain per-step walk.
+
+Known losing cell — K=24 `tpu_jnp` update (~0.3 k sym/s vs the reference's
+scalar ka9q column at 1.09 k): the portable `lax.scan` path materialises
+~25 XLA passes of the 134 MiB-per-step metric tensor (measured effective
+elementwise bandwidth ~96 GB/s on this rig), and the penalty-sharing
+identity only trims a few of them. The pallas column is the performance
+route for this config (wins both phases); the jnp column is kept as the
+portability/oracle path. All other cells in both tables beat the
+reference's best column.
+
+This matrix passed `tools/check_results.py` (no floored samples, claim-row
+stds <= 15 %, rooflines respected, BER 0) — the gate is re-run by
+`tests/test_results_quality.py` on every suite run.
 
 """
     with open(os.path.join(REPO, args.out), "w") as f:
