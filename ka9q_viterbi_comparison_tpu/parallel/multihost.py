@@ -15,10 +15,16 @@ turns per-host frame batches into one global sharded decode:
   (process-local data placement, no cross-host transfer).
 * ``decode_local_frames(...)`` -- end-to-end: global assembly, sharded
   decode, return this process's decoded shard as host numpy.
+* ``decode_local_time_blocks(...)`` -- sequence parallelism ACROSS hosts:
+  each process holds a contiguous time block of the same frames, the
+  ``time`` mesh axis spans the process boundary, and the truncated-
+  traceback halo exchange (``parallel.timeblock``) rides the cross-process
+  link -- the "boundary path metrics + overlap over DCN" path of
+  SURVEY §2.3.
 
 On a real multi-host TPU deployment the same calls run unchanged: ``mesh``
-spans all hosts' devices, the frame axis rides DCN, and each host feeds and
-reads back only its addressable shards.
+spans all hosts' devices, the sharded axes ride DCN, and each host feeds
+and reads back only its addressable shards.
 """
 
 from __future__ import annotations
@@ -30,12 +36,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs import CodeSpec, NumericSpec
 from .frame import frame_sharded_decode
+from .timeblock import time_block_decode_bits
 
 __all__ = [
     "initialize",
     "global_frame_mesh",
     "global_frame_batch",
     "decode_local_frames",
+    "decode_local_time_blocks",
     "local_shard",
 ]
 
@@ -102,3 +110,52 @@ def decode_local_frames(
     syms = global_frame_batch(np.asarray(local_symbols), mesh, axis)
     out = frame_sharded_decode(code, numeric, syms, num_data_bits, mesh, axis)
     return local_shard(out)
+
+
+def cross_process_time_mesh(frame_axis: str = "frame",
+                            time_axis: str = "time") -> Mesh:
+    """2-D mesh with the TIME axis spanning processes (one time block per
+    process; any per-process devices shard frames within the block), so the
+    time-block halo exchange crosses the host boundary."""
+    devs = np.asarray(jax.devices())
+    per_proc = max(1, len(devs) // max(1, jax.process_count()))
+    return Mesh(devs.reshape(-1, per_proc), (time_axis, frame_axis))
+
+
+def decode_local_time_blocks(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    local_symbols: np.ndarray,
+    mesh: Mesh | None = None,
+    overlap: int | None = None,
+    frame_axis: str = "frame",
+    time_axis: str = "time",
+) -> np.ndarray:
+    """Sequence-parallel decode with time blocks spanning processes.
+
+    ``local_symbols``: this process's contiguous time block ``[B, Tb, R]``
+    of the shared frame batch (blocks concatenate in process order to the
+    global ``[B, T, R]`` stream).  The warm-up halos move ``overlap`` symbol
+    groups across the process boundary (DCN analogue).  Returns this
+    process's decoded trellis-bit slice ``[B_local_rows, Tb]`` uint8.
+    """
+    mesh = mesh or cross_process_time_mesh(frame_axis, time_axis)
+    local = np.asarray(local_symbols)
+    B, Tb, R = local.shape
+    sharding = NamedSharding(mesh, P(frame_axis, time_axis, None))
+    if jax.process_count() == 1:
+        syms = jax.device_put(local, sharding)
+    else:
+        global_shape = (B, Tb * jax.process_count(), R)
+        syms = jax.make_array_from_process_local_data(sharding, local,
+                                                      global_shape)
+    bits = time_block_decode_bits(
+        code, numeric, syms, mesh, overlap, time_axis, frame_axis)
+    shards = sorted(bits.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0,
+                                   s.index[1].start or 0))
+    rows: dict[int, list[np.ndarray]] = {}
+    for s in shards:
+        rows.setdefault(s.index[0].start or 0, []).append(np.asarray(s.data))
+    return np.concatenate(
+        [np.concatenate(rows[k], axis=1) for k in sorted(rows)], axis=0)

@@ -55,7 +55,37 @@ def main() -> None:
     )
     errs = count_bit_errors(out_local, data_local)
     assert errs == 0, f"process {proc_id}: {errs} bit errors"
-    print(f"MULTIHOST_OK process={proc_id} devices={len(jax.devices())}", flush=True)
+
+    # Sequence parallelism ACROSS the process boundary: each process holds a
+    # contiguous time block of the SAME frames; the truncated-traceback halo
+    # ppermutes cross the gloo (DCN-analogue) link.
+    from ka9q_viterbi_comparison_tpu.utils.bits import bytes_to_bits
+
+    T = code.transmit_bits(n_bytes)
+    assert T % nprocs == 0, (T, nprocs)
+    Tb = T // nprocs
+    B_sp = nprocs * 2  # frame axis spans each process's 2 local devices
+    data_sp = rng.integers(0, 256, size=(B_sp, n_bytes), dtype=np.uint8)
+    syms_sp = np.asarray(encode_frames(code, numeric, data_sp)).reshape(
+        B_sp, T, code.R)
+    local_block = syms_sp[:, proc_id * Tb : (proc_id + 1) * Tb]
+    bits_local = multihost.decode_local_time_blocks(
+        code, numeric, local_block, overlap=32)
+    # Traceback bit t is the bit falling off the register = input bit
+    # t-K+1 (ref: viterbi27_sse2.cpp:101-102), so the expected stream is
+    # K-1 initial-state zeros then the data bits.  The frame axis lives
+    # WITHIN each process (time spans processes), so every frame row is
+    # addressable locally; the local slice is all B_sp rows of this
+    # process's time block.
+    exp_bits = np.concatenate(
+        [np.zeros((B_sp, code.K - 1), np.uint8),
+         np.asarray(bytes_to_bits(data_sp))], axis=1)
+    exp_slice = exp_bits[:, proc_id * Tb : (proc_id + 1) * Tb]
+    got = bits_local
+    assert got.shape == exp_slice.shape, (got.shape, exp_slice.shape)
+    assert (got == exp_slice).all(), "time-sharded bits mismatch"
+    print(f"MULTIHOST_OK process={proc_id} devices={len(jax.devices())} sp=ok",
+          flush=True)
 
 
 if __name__ == "__main__":
