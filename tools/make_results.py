@@ -72,6 +72,13 @@ inside the update phase* — the published K=24 update rate already pays the
 ~45 % repack surcharge, and both phases beat the reference with it
 included. The jnp/native columns keep the plain per-step walk.
 
+Reading note — K=9 chainback can tabulate slightly above K=7's (e.g. 12.3
+vs 11 Gbit/s): both walks are bound by per-step latency, not word traffic
+(ARCHITECTURE.md roofline table), and K=9's bench frames are half as long
+(512 vs 1024 bytes) at the same batch, so per-step fixed costs amortise
+the same while the two configs sit within ~10 % of each other — inside the
+gate's 1.2x plausibility bound, unlike round 2's 28 %-std artifact rows.
+
 Known losing cell — K=24 `tpu_jnp` update (~0.3 k sym/s vs the reference's
 scalar ka9q column at 1.09 k): the portable `lax.scan` path materialises
 ~25 XLA passes of the 134 MiB-per-step metric tensor (measured effective
