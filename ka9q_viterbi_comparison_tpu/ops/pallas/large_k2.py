@@ -378,6 +378,30 @@ def acs_update_large2(
         mdt = jnp.dtype(metric_dtype).type
     else:
         mdt = large_k.metric_dtype_for(code, numeric, T)
+    # In-scan renormalisation: when the whole-block worst-case metric
+    # overflows int16 (e.g. the ka9q offset-binary alphabet's 510/step
+    # branch errors, ref: src/viterbi_configs.h:15-20), subtracting the
+    # per-frame minimum every `rn` pairs keeps the spread bounded at
+    # ``spread + 2*rn*mbe`` -- decision-invariant (a constant shift changes
+    # no compare), path-metric-exact (shifts accumulate into the returned
+    # offset), and worth a full metric-tensor read every rn pairs because
+    # int16 halves EVERY pair's traffic (measured: ob K=24 matches soft8's
+    # rate instead of trailing it ~25 %).  This is the in-scan analogue of
+    # the reference's lazy renorm (ref: viterbi224_sse2.cpp:226-250).
+    rn = 0
+    mbe = numeric.max_branch_error(R)
+    spread = numeric.initial_margin + (code.K - 1) * mbe
+    if spread + (T + 8) * mbe >= 30000:
+        rn_fit = (29000 - spread) // max(1, 2 * mbe)
+        if mdt == jnp.int16:
+            if rn_fit < 1:
+                raise ValueError(
+                    f"int16 metrics cannot hold the {numeric.name} spread "
+                    f"{spread} even with per-pair renormalisation")
+            rn = max(1, int(rn_fit))
+        elif metric_dtype == "auto" and rn_fit >= 4:
+            mdt = jnp.int16
+            rn = int(rn_fit)
     # KA9Q_TPU_LK2_TABLES=0 forces the in-kernel parity-fold path (A/B probe
     # hook, tools/k24_sweep.py); tables are the default for R <= 2.
     use_tables = R <= 2 and flags.lk2_tables()
@@ -407,6 +431,10 @@ def acs_update_large2(
     # the XLA re-interleave stays and K=24 sits at 12-20 % of HBM roofline
     # (ARCHITECTURE.md).  Default off.
     use_residue = Lb4 % 4 == 0 and flags.lk2_residue()
+    if use_residue and rn:
+        # The (toolchain-blocked) residue carry keeps the old body; don't
+        # compose it with in-scan renorm -- fall back to int32 storage.
+        rn, mdt = 0, jnp.int32
     kernel = _pair_kernel(code, numeric, Lb4, NB, mdt, use_tables, use_residue,
                           want_g2)
     m_shape = jax.ShapeDtypeStruct((B, PACK, C // 4), mdt)
@@ -480,14 +508,28 @@ def acs_update_large2(
         m_res, (words2, g2w) = jax.lax.scan(pair_body, m_res0, sym_pairs)
         m3 = jnp.stack(m_res, axis=-1).reshape(B, PACK, C)
     else:
-        def pair_body(m3, sym_pair):  # m3: [B, PACK, C] mdt
+        def pair_body(carry, xs):  # metrics: [B, PACK, C] mdt
+            m3, off = carry
+            i, sym_pair = xs
             m0, m1, m2, m3_, *ws = step_call(
                 m3, m3, m3, m3, sym_pair, *table_args
             )
             m_next = jnp.stack([m0, m1, m2, m3_], axis=-1).reshape(B, PACK, C)
-            return m_next, words_out(*ws)
+            if rn:
+                def renorm(m, o):
+                    mn = m.min(axis=(1, 2))  # [B], a constant per frame
+                    return m - mn[:, None, None], o + mn.astype(jnp.int32)
 
-        m3, (words2, g2w) = jax.lax.scan(pair_body, m3, sym_pairs)
+                m_next, off = jax.lax.cond(
+                    (i % rn) == rn - 1, renorm, lambda m, o: (m, o),
+                    m_next, off)
+            return (m_next, off), words_out(*ws)
+
+        off0 = jnp.zeros((B,), dtype=jnp.int32)
+        xs = (jnp.arange(T2, dtype=jnp.int32), sym_pairs)
+        (m3, scan_off), (words2, g2w) = jax.lax.scan(
+            pair_body, (m3, off0), xs)
+        entry_shift = entry_shift + scan_off
     # words2: [T2, 2, B, C] -> [T, B, C] (step order t, t+1 per pair)
     words = words2.reshape(T2 * 2, B, C)
 

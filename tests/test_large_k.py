@@ -156,3 +156,39 @@ def test_large_k2_residue_carry_matches_baseline(rng, monkeypatch):
         outs[flag] = (np.asarray(m), np.asarray(w), np.asarray(off))
     for a, b in zip(outs["0"], outs["1"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_large_k2_inscan_renorm_ob_int16(rng):
+    """Offset-binary symbols overflow int16 over a whole block (510/step
+    branch errors), so the depth-2 kernel's auto policy now picks int16
+    storage with in-scan renormalisation every `rn` pairs.  Metrics + words
+    must stay bit-identical to the int32 jnp path up to the renorm shift,
+    with the shift returned in the offset (path_metric exactness, ref
+    semantics: viterbi224_sse2.cpp:226-250)."""
+    import jax
+
+    from ka9q_viterbi_comparison_tpu import ka9q_offset_binary_spec
+    from ka9q_viterbi_comparison_tpu.ops.channel import awgn_symbols
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k2
+
+    code = VITERBI29
+    numeric = ka9q_offset_binary_spec()
+    B, n_bytes = 2, 16  # T = 136: whole-block worst ~79k >> int16; rn = 23
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    # Noisy symbols: on a noiseless stream the running minimum (the true
+    # path's accumulated error) stays 0 and renorm is a no-op; AWGN makes
+    # every path accumulate error, so the shift must actually fire.
+    syms = awgn_symbols(code, numeric, jax.random.key(5), jnp.asarray(data),
+                        2.0).reshape(B, -1, code.R)
+
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    m2, words2, off = large_k2.acs_update_large2(
+        code, numeric, m0, syms, True, "auto")
+    # Renorm must actually have fired (nonzero accumulated shift) ...
+    assert (np.asarray(off) > 0).all()
+    # ... decisions are shift-invariant, and metrics + offset restore the
+    # exact accumulated path errors.
+    np.testing.assert_array_equal(np.asarray(words2), np.asarray(words_ref))
+    np.testing.assert_array_equal(
+        np.asarray(m2) + np.asarray(off)[:, None], np.asarray(m_ref))
