@@ -36,9 +36,14 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import CodeSpec, NumericSpec
-from .branch import branch_penalties, penalty_base_and_coef, transition_tables_jnp
+from .branch import (
+    branch_penalties,
+    penalty_base_and_coef,
+    rotating_tables_jnp,
+    transition_tables_jnp,
+)
 
-__all__ = ["init_metrics", "acs_update", "acs_step"]
+__all__ = ["init_metrics", "acs_update", "acs_update_rotating", "acs_step"]
 
 
 def init_metrics(
@@ -189,3 +194,131 @@ def acs_update(
     offset0 = jnp.zeros((B,), dtype=jnp.int32)
     (metrics, offset), words = jax.lax.scan(body, (metrics, offset0), xs)
     return metrics, words.transpose(1, 0, 2), offset
+
+
+def _rot_layout(m: jnp.ndarray, r: int, nbits: int) -> jnp.ndarray:
+    """Bit-rotation relayout along the last axis: ``out[..., p] = m[...,
+    rotl(p, r)]`` over ``nbits``-bit indices.
+
+    A rotation permutation factors into one reshape + transpose + reshape
+    (block granularity ``2**r``), which XLA lowers as a single relayout copy
+    -- no gather, no embedded index literal (the K=24 axis is 2^23 long).
+    """
+    r %= nbits
+    if r == 0:
+        return m
+    lead = m.shape[:-1]
+    S = m.shape[-1]
+    return m.reshape(*lead, S >> r, 1 << r).swapaxes(-1, -2).reshape(*lead, S)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def acs_update_rotating(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    metrics: jnp.ndarray,
+    symbols: jnp.ndarray,
+    t0: int = 0,
+):
+    """Symbol update via in-place rotating state addressing, in pure jnp.
+
+    Same contract as ``acs_update`` (metrics in/out in natural state order),
+    but decision words come back packed in *position* order -- bit
+    ``rotr(s, (t+1) mod (K-1))`` of step ``t``'s words is the decision for
+    new state ``s`` (``chainback_bits(..., rotated=True)`` consumes them).
+
+    Motivation: the natural-order scan body interleaves the full ``[B, S]``
+    metric tensor at element granularity every step (``stack(...,-1).reshape``)
+    -- at K=24 that relayout is the dominant cost of the portable path and
+    XLA cannot fuse across it.  Under the FFT-style address rotation the
+    butterfly is in-place (ref analogue: the register ping-pong of the
+    reference's SPIRAL kernels, spiral/spiral27.cpp:130-381, generalised to
+    the K-1-cycle the Pallas ``inplace`` kernel uses): each step is a pure
+    elementwise compare-select between two halves of the position axis at
+    stride ``2**j``, so the interleave happens at block granularity ``2**j``
+    (a cheap copy for 22 of the 23 K=24 phases) instead of stride 1 every
+    step.
+
+    ``t0``: trellis steps consumed before this call (blockwise resume);
+    static, only ``t0 mod (K-1)`` matters -- callers should pass it reduced
+    to bound recompilation.  When ``numeric.renorm_interval`` is set, the
+    renorm schedule is based on the step index within the call; that shifts
+    *when* renorms happen across blocks but never the decisions or the
+    returned (metrics + offset) sum.
+    """
+    B, T, R = symbols.shape
+    K = code.K
+    nrot = K - 1
+    S = code.num_states
+    interval = numeric.renorm_interval
+    t0 = t0 % nrot
+    both_ends = all(
+        (p & 1) and (p >> (code.K - 1)) & 1 for p in code.abs_polys())
+    classes = (0, 2) if both_ends else (0, 1, 2, 3)
+
+    C = T // nrot  # full rotation cycles handled by the scan
+    rem = T - C * nrot
+    n_tabs = nrot if C else rem
+    tabs = [rotating_tables_jnp(code, (t0 + u) % nrot, classes)
+            for u in range(n_tabs)]
+
+    def step(m, off, sym, u, t):
+        """One trellis step at rotation phase (t0 + u) % nrot."""
+        phase = (t0 + u) % nrot
+        j = (K - 2 - phase) % nrot
+        stride = 1 << j
+        G = S >> (j + 1)
+        base, coef = penalty_base_and_coef(numeric, sym)  # [B], [B, R]
+        x = m.reshape(B, G, 2, stride)
+        lo, hi = x[:, :, 0], x[:, :, 1]  # [B, G, stride]
+        tb = tabs[u].reshape(len(classes), R, G, stride)
+
+        def pen(ci):
+            p = base[:, None, None]
+            for r in range(R):
+                p = p + coef[:, r, None, None] * tb[ci, r]
+            return p
+
+        p00, p10 = pen(0), pen(1 if both_ends else 2)
+        p01, p11 = (p10, p00) if both_ends else (pen(1), pen(3))
+        c00, c10 = lo + p00, hi + p10
+        d0 = c10 < c00
+        n0 = jnp.where(d0, c10, c00)
+        c01, c11 = lo + p01, hi + p11
+        d1 = c11 < c01
+        n1 = jnp.where(d1, c11, c01)
+        new = jnp.stack([n0, n1], axis=2).reshape(B, S)
+        dec = jnp.stack([d0, d1], axis=2).reshape(B, S)
+        if interval:
+            do_renorm = (t % interval) == (interval - 1)
+            shift = jnp.where(do_renorm, new.min(axis=-1), 0)
+            new = new - shift[:, None]
+            off = off + shift
+        return new, off, _pack_decisions(dec)
+
+    m = _rot_layout(metrics, t0, nrot)  # natural order == phase-0 positions
+    off = jnp.zeros((B,), dtype=jnp.int32)
+    word_blocks = []
+    if C:
+        sym_c = symbols[:, : C * nrot].reshape(B, C, nrot, R).transpose(1, 2, 0, 3)
+
+        def cycle(carry, xs):
+            m, off = carry
+            syms, c = xs  # [nrot, B, R], scalar cycle index
+            ws = []
+            for u in range(nrot):
+                m, off, w = step(m, off, syms[u], u, c * nrot + u)
+                ws.append(w)
+            return (m, off), jnp.stack(ws)  # [nrot, B, W]
+
+        (m, off), words = jax.lax.scan(
+            cycle, (m, off), (sym_c, jnp.arange(C, dtype=jnp.int32)))
+        word_blocks.append(words.reshape(C * nrot, B, -1))
+    for u in range(rem):
+        m, off, w = step(m, off, symbols[:, C * nrot + u].astype(jnp.int32),
+                         u, jnp.int32(C * nrot + u))
+        word_blocks.append(w[None])
+    words = (word_blocks[0] if len(word_blocks) == 1
+             else jnp.concatenate(word_blocks, axis=0))
+    m = _rot_layout(m, (nrot - (t0 + T) % nrot) % nrot, nrot)
+    return m, words.transpose(1, 0, 2), off

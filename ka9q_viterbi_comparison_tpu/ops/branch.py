@@ -33,6 +33,7 @@ from ..configs import CodeSpec, NumericSpec
 __all__ = [
     "transition_tables",
     "transition_tables_jnp",
+    "rotating_tables_jnp",
     "branch_penalties",
     "penalty_base_and_coef",
 ]
@@ -86,6 +87,47 @@ def transition_tables_jnp(code: CodeSpec) -> jnp.ndarray:
                 per_r.append(e)
             rows.append(jnp.stack(per_r, axis=0))  # [R, S/2]
     return jnp.stack(rows, axis=0)  # [4, R, S/2]
+
+
+def rotating_tables_jnp(
+    code: CodeSpec, phase: int, classes: tuple = (0, 1, 2, 3)
+) -> jnp.ndarray:
+    """Expected-bit tables for one rotation phase of the in-place (FFT-style
+    address rotation) ACS ordering, computed *on device* from an iota (uint8
+    ``[len(classes), R, S/2]``, class values ``h*2 + b``).
+
+    Position convention (same as ``ops.pallas.inplace``): at trellis step
+    ``t`` the metric of state ``s`` lives at position ``rotr(s, t mod (K-1))``
+    within the K-1 state bits.  At phase ``t`` the butterfly pairs positions
+    ``(q, q | 2**j)`` with ``j = (K-2-t) mod (K-1)``; compressed pair index
+    ``i`` (the pair's rank with bit ``j`` removed) maps to ``q = ((i >> j) <<
+    (j+1)) | (i & (2**j - 1))`` and predecessor half-state ``s2 = rotl(q,
+    t)``.  Entry ``[h*2+b, r, i]`` is the expected output bit of polynomial
+    ``r`` for the transition from ``s2 + h*S/2`` on input bit ``b`` -- i.e.
+    ``transition_tables_jnp(code)[h*2+b, r, :]`` permuted into compressed
+    phase-``t`` position order.
+    """
+    K = code.K
+    nrot = K - 1
+    half = code.num_states // 2
+    j = (K - 2 - phase) % nrot
+    i = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)[:, 0]
+    q = ((i >> j) << (j + 1)) | (i & ((1 << j) - 1))
+    mask = (1 << nrot) - 1
+    t = phase % nrot
+    s2 = ((q << t) | (q >> (nrot - t))) & mask if t else q
+    rows = []
+    for hb in classes:
+        h, b = hb >> 1, hb & 1
+        per_r = []
+        for p, inv in zip(code.abs_polys(), code.inversions()):
+            x = s2 & (p >> 1)
+            for shift in (16, 8, 4, 2, 1):
+                x = x ^ (x >> shift)
+            e = (x & 1) ^ ((b & p & 1) ^ (h & (p >> (K - 1)) & 1) ^ (1 if inv else 0))
+            per_r.append(e.astype(jnp.uint8))
+        rows.append(jnp.stack(per_r, axis=0))
+    return jnp.stack(rows, axis=0)  # [len(classes), R, S/2] uint8
 
 
 def penalty_base_and_coef(numeric: NumericSpec, symbols: jnp.ndarray):

@@ -51,12 +51,13 @@ def _select_word(words: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(words, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(jax.jit, static_argnums=(0, 2, 4))
 def chainback_bits(
     code: CodeSpec,
     decision_words: jnp.ndarray,
     num_data_bits: int,
     endstate: jnp.ndarray | int = 0,
+    rotated: bool = False,
 ):
     """Trace back through ``decision_words [B, T, W]`` (uint32) from
     ``endstate`` at the final step, returning decoded data bits ``[B,
@@ -68,13 +69,26 @@ def chainback_bits(
     reference handles with its ``d += tail`` "look past tail" skip
     (viterbi27_sse2.cpp:97).
 
+    ``rotated``: the words are position-packed by ``acs_update_rotating`` --
+    the decision for state ``s`` at step ``t`` sits at bit position
+    ``rotr(s, (t+1) mod (K-1))`` (two shifts + or + mask on the walk state
+    per step; the walk itself is unchanged).
+
     Also returns the start state reached ``[B]`` int32 (state at t=0; 0 for a
     frame decoded from reset).
     """
     B, T, W = decision_words.shape
     K = code.K
+    nrot = K - 1
     mask = jnp.int32(code.num_states - 1)
     end = jnp.broadcast_to(jnp.asarray(endstate, dtype=jnp.int32) & mask, (B,))
+
+    def bit_pos(state, t):
+        """Packed bit position of state ``state``'s decision at step ``t``."""
+        if not rotated:
+            return state
+        rho = (t + 1) % nrot
+        return ((state >> rho) | (state << (nrot - rho))) & mask
 
     if W * 4 > 64 * 1024 and B <= 64:
         # Huge trellises (K=24): a batched gather over the [B, W] slice makes
@@ -89,13 +103,14 @@ def chainback_bits(
         # symbol update, so it never gates end-to-end decode (ref analogue:
         # one random load per step, viterbi224_sse2.cpp:93-105).
         def body_ds(state, t):
+            pos = bit_pos(state, t)
             ks = []
             for b in range(B):
-                idx = (state[b] >> 5).astype(jnp.int32)
+                idx = (pos[b] >> 5).astype(jnp.int32)
                 word = jax.lax.dynamic_slice(
                     decision_words, (b, t, idx), (1, 1, 1))[0, 0, 0]
                 ks.append(
-                    (word >> (state[b] & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
+                    (word >> (pos[b] & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
                 )
             k = jnp.stack(ks)
             return (state >> 1) | (k << (K - 2)), k.astype(jnp.uint8)
@@ -104,30 +119,35 @@ def chainback_bits(
             body_ds, end, jnp.arange(T, dtype=jnp.int32), reverse=True
         )
     else:
-        def body(state, words_t):
-            idx = state >> 5
+        def body(state, xs):
+            t, words_t = xs
+            pos = bit_pos(state, t)
+            idx = pos >> 5
             word = _select_word(words_t, idx)
-            k = (word >> (state & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
+            k = (word >> (pos & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
             new_state = (state >> 1) | (k << (K - 2))
             return new_state, k.astype(jnp.uint8)
 
         start_state, ks = jax.lax.scan(
-            body, end, decision_words.transpose(1, 0, 2), reverse=True
+            body, end,
+            (jnp.arange(T, dtype=jnp.int32), decision_words.transpose(1, 0, 2)),
+            reverse=True,
         )
 
     bits = ks.transpose(1, 0)[:, code.K - 1 : code.K - 1 + num_data_bits]
     return bits, start_state
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(jax.jit, static_argnums=(0, 2, 4))
 def chainback(
     code: CodeSpec,
     decision_words: jnp.ndarray,
     num_data_bits: int,
     endstate: jnp.ndarray | int = 0,
+    rotated: bool = False,
 ) -> jnp.ndarray:
     """Decode to bytes ``[B, num_data_bits // 8]`` uint8 (MSB-first)."""
     if num_data_bits % 8 != 0:
         raise ValueError("num_data_bits must be a multiple of 8")
-    bits, _ = chainback_bits(code, decision_words, num_data_bits, endstate)
+    bits, _ = chainback_bits(code, decision_words, num_data_bits, endstate, rotated)
     return bits_to_bytes(bits)
