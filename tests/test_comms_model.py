@@ -90,6 +90,14 @@ def test_state_time_matches_model(rng):
     assert (sum(c.count for c in state_perms)
             == model["update_ppermutes_per_device_stream"]
             == 4 * (Tb + 2 * OL))
+    # Per-step wire bytes EQUAL pure state sharding's (ARCHITECTURE.md
+    # comms table): the 4 per-step eqns appear once in each of the two
+    # scans (warm-up + main), and their sum per scan is one full
+    # metric-vector copy -- composing the time axis adds no per-step bytes.
+    pure = comms.statewise_model(CODE, n_state, B, Tb + 2 * OL)
+    assert sum(c.wire_bytes for c in state_perms) // 2 \
+        == pure["step_wire_bytes"] == model["step_wire_bytes"] \
+        == 4 * B * CODE.num_states
     # Symbol halos: one-shot, along time only.
     assert sum(c.count for c in time_perms) == 2
     assert all(c.payload_bytes == model["halo_payload_bytes"]
