@@ -17,8 +17,8 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["KNOBS", "inplace_mode", "inplace_unroll", "lk2_tables",
-           "lk2_residue"]
+__all__ = ["KNOBS", "inplace_mode", "inplace_unroll", "inplace_mxu",
+           "inplace_chunk", "lk_depth", "lk2_tables", "lk2_residue"]
 
 # name -> (default, meaning).  Keep in sync with README.md's knob table.
 KNOBS: dict[str, tuple[str, str]] = {
@@ -33,6 +33,34 @@ KNOBS: dict[str, tuple[str, str]] = {
         "1",
         "Chunk-loop unroll factor of the in-place kernel. 1 measured "
         "fastest on v5e (tools/unroll_sweep.py: 50.5 vs 45.6 Msym/s at 2).",
+    ),
+    "KA9Q_TPU_INPLACE_MXU": (
+        "1",
+        "Evaluate the in-place kernel's branch-penalty combos as one bf16 "
+        "matmul per chunk on the MXU (exact: 0/1 parities x |coef|<=255 "
+        "inputs, f32 accumulate) instead of ~R products + 4 signed "
+        "accumulations on the VPU. The kernel is VPU-compute-bound at its "
+        "real instruction mix, so offloading penalties to the idle MXU is "
+        "the principal headroom (VERDICT r3 #4): measured K=15 B=256 on "
+        "v5e, 83.5 vs 53.5 Msym/s at the old default chunk, bit-exact "
+        "(tools/k15_chunk_sweep.py). 0: VPU combo path.",
+    ),
+    "KA9Q_TPU_INPLACE_CHUNK": (
+        "1024",
+        "State-chunk rows per inner-loop iteration of the in-place kernel "
+        "(live-range bound for Mosaic's register allocator; the whole-array "
+        "form spilled 254 MiB at K=15). Swept on v5e with the MXU penalty "
+        "path (tools/k15_chunk_sweep.py): 74.8/83.5/82.9 Msym/s at "
+        "512/1024/2048; 4096 faults the TPU worker (Mosaic kernel crash) "
+        "and 16384 does not finish compiling -- keep <= 2048.",
+    ),
+    "KA9Q_TPU_LK_DEPTH": (
+        "4",
+        "Trellis steps fused per launch in the state-blocked large-K "
+        "family: 4 routes R<=2 codes through ops/pallas/large_k4.py (one "
+        "metric-tensor HBM crossing and one column re-interleave per QUAD); "
+        "2 keeps the depth-2 pair kernel everywhere. R>2 codes always use "
+        "depth 2.",
     ),
     "KA9Q_TPU_LK2_TABLES": (
         "1",
@@ -63,6 +91,18 @@ def inplace_mode() -> str:
 
 def inplace_unroll() -> int:
     return max(1, int(_get("KA9Q_TPU_INPLACE_UNROLL")))
+
+
+def inplace_mxu() -> bool:
+    return _get("KA9Q_TPU_INPLACE_MXU") != "0"
+
+
+def inplace_chunk() -> int:
+    return max(32, int(_get("KA9Q_TPU_INPLACE_CHUNK")))
+
+
+def lk_depth() -> int:
+    return 4 if _get("KA9Q_TPU_LK_DEPTH") != "2" else 2
 
 
 def lk2_tables() -> bool:

@@ -154,7 +154,16 @@ def _pack_weights(B: int) -> jnp.ndarray:
 
 # State-chunk rows processed per inner-loop iteration: bounds Mosaic's live
 # ranges (the full-array formulation spilled 254 MiB of registers at K=15).
+# Default; the KA9Q_TPU_INPLACE_CHUNK knob overrides (power of two, >= 32).
 CHUNK = 512
+
+
+def _chunk_size(S: int) -> int:
+    from . import flags
+
+    ch = flags.inplace_chunk()
+    ch = 1 << (ch.bit_length() - 1)  # power of two (address algebra needs it)
+    return max(32, min(ch, S))
 
 
 def _chunk_unroll() -> int:
@@ -194,13 +203,16 @@ def _loop_chunks(n: int, body) -> None:
 
 def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                         n_last: int, p0: int):
+    from . import flags
+
     S = code.num_states
     S2 = S // 2
     W = max(1, S // 32)
     R = code.R
     K = code.K
     nrot = K - 1
-    CH = min(CHUNK, S)
+    CH = _chunk_size(S)
+    use_mxu = flags.inplace_mxu()
     low = numeric.soft_low
     hl = numeric.soft_high + numeric.soft_low
     # XOR-flip per combo x = h*2+b (identical to kernels.py -- the flips are
@@ -222,16 +234,63 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
         def _():
             m_scr[:] = m_in_ref[:]
 
-        def make_pens(phase, i0, n, coefs, base):
-            """Penalty combos for ``n`` pairs from pair index ``i0`` (traced)
-            of ``phase``: [n, B] each, from the pair-major e-table."""
-            cols = [e_ref[pl.ds(i0, n), phase * R + r : phase * R + r + 1]
-                    for r in range(R)]
-            prods = [cols[r] * coefs[r] for r in range(R)]
-            distinct = {}
-            for x in range(4):
-                f = flips[x]
-                if f not in distinct:
+        dkeys: list[tuple] = []
+        for x in range(4):
+            if flips[x] not in dkeys:
+                dkeys.append(flips[x])
+
+        def make_pens_factory(phase, coefs, base):
+            """Per-step penalty evaluator ``pens(i0, n) -> 4 x [n, B]``.
+
+            Everything that does not depend on the chunk -- the combo
+            structure, the signed-coefficient matrix, the per-combo scalar
+            bases -- is built ONCE per trellis step here (hoisted out of the
+            per-chunk bodies, VERDICT r3 #4).
+
+            MXU path (default): pen_f[i, b] = base_f[b] + sum_r s_r E[i, r]
+            coef_r[b] with s_r = 1 - 2*f_r is a rank-R contraction, i.e. one
+            bf16 matmul ``E [n, R] @ M [R, n_distinct*B]`` with f32
+            accumulation.  Exact: E is 0/1 and |coef| <= 255, both bf16-
+            representable, and |P| <= R*255 << 2^24.  The kernel is VPU-
+            compute-bound (ARCHITECTURE.md roofline), so moving the ~R
+            products + 4 signed accumulations per chunk onto the otherwise
+            idle MXU is the principal headroom.
+            """
+            B = base.shape[1]
+            if use_mxu:
+                cols = []
+                sbases = []
+                for f in dkeys:
+                    cols.append(jnp.concatenate(
+                        [-coefs[r] if f[r] else coefs[r] for r in range(R)],
+                        axis=0))
+                    sv = base
+                    for r in range(R):
+                        if f[r]:
+                            sv = sv + coefs[r]
+                    sbases.append(sv)
+                M = jnp.concatenate(cols, axis=1).astype(jnp.bfloat16)
+
+                def pens(i0, n):
+                    E = e_ref[pl.ds(i0, n),
+                              phase * R : (phase + 1) * R].astype(jnp.bfloat16)
+                    P = jax.lax.dot_general(
+                        E, M, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    out = {}
+                    for k, f in enumerate(dkeys):
+                        out[f] = (P[:, k * B : (k + 1) * B].astype(jnp.int32)
+                                  + sbases[k])
+                    return [out[flips[x]] for x in range(4)]
+
+                return pens
+
+            def pens(i0, n):
+                cols = [e_ref[pl.ds(i0, n), phase * R + r : phase * R + r + 1]
+                        for r in range(R)]
+                prods = [cols[r] * coefs[r] for r in range(R)]
+                distinct = {}
+                for f in dkeys:
                     sv = base
                     acc = None
                     for r in range(R):
@@ -239,7 +298,9 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                         signed = -prods[r] if f[r] else prods[r]
                         acc = signed if acc is None else acc + signed
                     distinct[f] = acc + sv
-            return [distinct[flips[x]] for x in range(4)]
+                return [distinct[flips[x]] for x in range(4)]
+
+            return pens
 
         def acs(mlo, mhi, pens):
             cands = []
@@ -269,6 +330,7 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
             for r in range(R):
                 base = base + (sym[r : r + 1] - low)
                 coefs.append(hl - 2 * sym[r : r + 1])
+            pens_fn = make_pens_factory(phase, coefs, base)
 
             if (1 << (j + 1)) <= CH:
                 # Strided chunk: CH positions = CH/2 pairs; the pair bit j
@@ -278,7 +340,7 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                     v = m_c.reshape(CH >> (j + 1), 2, 1 << j, B)
                     mlo = v[:, 0].reshape(CH // 2, B)
                     mhi = v[:, 1].reshape(CH // 2, B)
-                    pens = make_pens(phase, c * (CH // 2), CH // 2, coefs, base)
+                    pens = pens_fn(c * (CH // 2), CH // 2)
                     cands, decs = acs(mlo, mhi, pens)
                     new = jnp.stack(
                         [x.reshape(CH >> (j + 1), 1 << j, B) for x in cands],
@@ -309,7 +371,7 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
                     w0 = c1 * ((2 << j) // 32) + c0 * (CH // 32)
                     mlo = m_scr[pl.ds(q0, CH)]
                     mhi = m_scr[pl.ds(q0 + (1 << j), CH)]
-                    pens = make_pens(phase, i0, CH, coefs, base)
+                    pens = pens_fn(i0, CH)
                     cands, decs = acs(mlo, mhi, pens)
                     m_scr[pl.ds(q0, CH)] = cands[0]
                     m_scr[pl.ds(q0 + (1 << j), CH)] = cands[1]
