@@ -106,6 +106,23 @@ def fits_vmem(code: CodeSpec, batch_padded: int) -> bool:
     return need * 2.5 <= kernels.VMEM_CAP
 
 
+def _large_update(code, numeric, metrics, symbols, interp, time_major=False):
+    """State-blocked large-K update at the routed fuse depth: four trellis
+    steps per launch (``large_k4``) for R<=2 trellises big enough for
+    16-range input blocks, else the depth-2 pair kernel
+    (``KA9Q_TPU_LK_DEPTH`` selects; ``flags.py``)."""
+    from . import large_k, large_k2
+
+    if (flags.lk_depth() >= 4 and code.R <= 2
+            and large_k.pick_state_block(code) >= 16 * 32):
+        from . import large_k4
+
+        return large_k4.acs_update_large4(
+            code, numeric, metrics, symbols, interp, None, time_major)
+    return large_k2.acs_update_large2(
+        code, numeric, metrics, symbols, interp, None, False, time_major)
+
+
 def _small_k_impl(batch_padded: int):
     """Single-step kernel is fastest at the measured B=512 sweet spot; the
     depth-2 fused variant (kernels2) wins from ~1024 lanes-of-batch up
@@ -174,13 +191,10 @@ def acs_update(code: CodeSpec, numeric: NumericSpec, metrics: jnp.ndarray,
     if use_inplace(code, Bp):
         return _inplace_update(code, numeric, metrics, symbols, t0)
     if not supports(code):
-        # Large-K: state-blocked kernel with HBM-resident metrics, two
+        # Large-K: state-blocked kernel with HBM-resident metrics, 2-4
         # trellis steps fused per launch.
-        from . import large_k2
-
-        return large_k2.acs_update_large2(
-            code, numeric, metrics, symbols.astype(jnp.int32), not on_tpu()
-        )
+        return _large_update(
+            code, numeric, metrics, symbols.astype(jnp.int32), not on_tpu())
     if not fits_vmem(code, Bp):
         return acs.acs_update(code, numeric, metrics, symbols, True)
     Tp = _pad_time(code, T, Bp)
@@ -358,7 +372,6 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
         # measured 7.6 Mbit/s aggregate at B=4 vs 0.30 M for the plain walk,
         # with the repack adding 45% to the update phase, both phases still
         # beating the reference (tools/k24_plane_probe.py).
-        from . import large_k2
         from .. import radix_planes as rp
 
         interp_lg = not on_tpu()
@@ -375,12 +388,11 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
 
         def update_fn(metrics, symbols):
             if use_planes:
-                m, w_tm, off = large_k2.acs_update_large2(
-                    code, numeric, metrics, symbols, interp_lg, None,
-                    False, True)
+                m, w_tm, off = _large_update(
+                    code, numeric, metrics, symbols, interp_lg, True)
                 tabs = rp.build_plane_tables(code, w_tm, anchor)
                 return m, (w_tm, tabs), off
-            m, w, off = large_k2.acs_update_large2(
+            m, w, off = _large_update(
                 code, numeric, metrics, symbols, interp_lg)
             return m, w, off
 

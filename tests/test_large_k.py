@@ -192,3 +192,52 @@ def test_large_k2_inscan_renorm_ob_int16(rng):
     np.testing.assert_array_equal(np.asarray(words2), np.asarray(words_ref))
     np.testing.assert_array_equal(
         np.asarray(m2) + np.asarray(off)[:, None], np.asarray(m_ref))
+
+
+def test_large_k4_matches_jnp(rng):
+    """Depth-4 fused kernel (quads + large_k2 remainder): bit-identical
+    metrics and decision words, including the chainback roundtrip."""
+    from ka9q_viterbi_comparison_tpu import CodeSpec
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k4
+
+    code = CodeSpec("k12r2", K=12, R=2, polys=(0o6731, 0o5247))
+    numeric = soft8_spec(code.R)
+    B, n_bytes = 2, 4
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    m4, words4, off = large_k4.acs_update_large4(code, numeric, m0, syms, True)
+    np.testing.assert_array_equal(np.asarray(off), 0)
+    np.testing.assert_array_equal(np.asarray(m4), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(words4), np.asarray(words_ref))
+    out = cb.chainback(code, words4, n_bytes * 8)
+    assert count_bit_errors(np.asarray(out), data) == 0
+
+
+@pytest.mark.parametrize("T", [16, 17, 18, 19])
+def test_large_k4_remainders(rng, T):
+    """Every T mod 4 remainder path (0..3) over random symbols: the quad
+    scan composes with large_k2's pair + odd-tail delegation exactly, and
+    time-major output matches the transpose."""
+    from ka9q_viterbi_comparison_tpu import CodeSpec
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k4
+
+    code = CodeSpec("k12r2", K=12, R=2, polys=(0o6731, 0o5247))
+    numeric = soft8_spec(code.R)
+    B = 2
+    syms = jnp.asarray(
+        rng.integers(numeric.soft_low, numeric.soft_high + 1,
+                     size=(B, T, code.R)), jnp.int32)
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    m4, words4, off = large_k4.acs_update_large4(code, numeric, m0, syms, True)
+    # The remainder delegation shift-to-zeroes at entry; the shift comes
+    # back in the offset (path-metric exactness contract).
+    np.testing.assert_array_equal(
+        np.asarray(m4 + off[:, None]), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(words4), np.asarray(words_ref))
+    _, words_tm, _ = large_k4.acs_update_large4(
+        code, numeric, m0, syms, True, None, True)
+    np.testing.assert_array_equal(
+        np.asarray(words_tm), np.asarray(words_ref.transpose(1, 0, 2)))
