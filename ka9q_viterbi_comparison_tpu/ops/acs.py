@@ -245,6 +245,14 @@ def acs_update_rotating(
     renorm schedule is based on the step index within the call; that shifts
     *when* renorms happen across blocks but never the decisions or the
     returned (metrics + offset) sum.
+
+    ROUTING OUTCOME (v5e, tools/k24_rot_probe.py): NOT routed for K=24 --
+    at the benchmark batch B=4 XLA's compile hits a permanent HBM OOM
+    (program 16.35 G > 15.75 G chip: the per-phase permutation temps of the
+    128 MiB metric tensor stay live across the 23-phase cycle), and B=1
+    does not finish compiling in 20 minutes.  Kept as a correctness-tested
+    formulation reference for the in-place Pallas kernel (which applies the
+    same rotation where it pays: VMEM-resident K <= 15).
     """
     B, T, R = symbols.shape
     K = code.K

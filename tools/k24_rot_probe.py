@@ -9,6 +9,24 @@ phases).  This probe times both on the real chip at the reference's K=24
 frame size (8 bytes -> T=87, ref: src/main.cpp:411-418) and the benchmark
 batch (B=4, harness/runner.py DEFAULT_BATCH).
 
+MEASURED OUTCOME (v5e, round 4) -- negative, the rotating route is
+unroutable for K=24 jnp on this rig:
+
+* B=4 (the benchmark batch): XLA compile fails with a permanent HBM OOM --
+  "Ran out of memory in memory space hbm. Used 16.48G of 15.75G", program
+  alone 16.35G.  The rotating gathers materialise per-phase permutation
+  temps of the [B, S] = 128 MiB metric tensor across the 23-phase cycle
+  inside the scan body, and XLA's buffer assignment keeps enough of them
+  live to exceed the chip.
+* B=1: compilation does not complete within a 20-minute budget (killed).
+
+So `acs_update_rotating` stays an un-routed portability experiment at
+K=24; the jnp family keeps the natural-order scan and the K=24 jnp cells
+remain in RESULTS.md's generated losing-cell list (the pallas route is the
+performance path for this config).  The rotating formulation IS the right
+trick where the metric vector is VMEM-resident -- ops/pallas/inplace.py
+applies it in-kernel for K <= 15.
+
 Run: python tools/k24_rot_probe.py [--iters N] [--bytes N] [--batch N]
 """
 
