@@ -34,6 +34,7 @@ from ..configs import (
     CodeSpec,
     ka9q_offset_binary_spec,
     soft8_spec,
+    soft16_spec,
 )
 from ..ops.encoder import encode_frames
 from .bench import run_phase_bench
@@ -97,10 +98,12 @@ def run_matrix(
     for code in codes:
         n_bytes = frame_bytes_override or BENCH_FRAME_BYTES[code.name]
         B = batch_override or DEFAULT_BATCH[code.name]
-        # Numeric families per config: soft8 (the "ours" soft-decision rows)
-        # plus the ka9q offset-binary convention where the reference has a
-        # ka9q column -- keeps the family comparison honest.
-        numerics = [(soft8_spec(code.R), "")]
+        # Numeric families per config: soft8 (the "ours" soft-decision rows),
+        # soft16 (the reference's u16 columns exist for every config,
+        # ref: src/viterbi_configs.h:22-35 / RESULTS.md:15-30), plus the ka9q
+        # offset-binary convention where the reference has a ka9q column --
+        # keeps the family comparison honest.
+        numerics = [(soft8_spec(code.R), ""), (soft16_spec(code.R), "_s16")]
         if code.name in KA9Q_CONFIGS:
             numerics.append((ka9q_offset_binary_spec(), "_ob"))
         for numeric, tag in numerics:

@@ -43,16 +43,20 @@ def main() -> None:
                        batch=args.batch, min_errors=args.min_errors,
                        max_bits=args.max_bits, decode=decode)
     print(f"## {code.name} ({args.spec}) BER vs Eb/N0")
-    print("| Eb/N0 (dB) | bits | bit errors | BER | FER |")
-    print("| --- | --- | --- | --- | --- |")
+    print("| Eb/N0 (dB) | bits | bit errors | BER | 95% CI | uncoded | FER |")
+    print("| --- | --- | --- | --- | --- | --- | --- |")
     for pt in points:
-        print(f"| {pt.ebn0_db:g} | {pt.bits} | {pt.errors} | {pt.ber:.3e} | {pt.fer:.3e} |")
+        lo, hi = pt.ber_ci()
+        print(f"| {pt.ebn0_db:g} | {pt.bits} | {pt.errors} | {pt.ber:.3e} "
+              f"| [{lo:.2e}, {hi:.2e}] | {pt.uncoded_ber:.3e} | {pt.fer:.3e} |")
     if args.json:
         import dataclasses
 
         with open(args.json, "w") as f:
             json.dump(
-                [dict(dataclasses.asdict(pt), ber=pt.ber, fer=pt.fer) for pt in points],
+                [dict(dataclasses.asdict(pt), ber=pt.ber, fer=pt.fer,
+                      ber_ci=pt.ber_ci(), uncoded_ber=pt.uncoded_ber)
+                 for pt in points],
                 f,
             )
 
