@@ -52,7 +52,11 @@ DEFAULT_BATCH = {
     "viterbi29": 512,
     "viterbi49": 256,
     "viterbi615": 256,  # VMEM caps the in-place kernel at 256 (tools/inplace_probe.py)
-    "viterbi224": 4,
+    # K=24 at the depth-4 kernel (tools/k24_batch_pick.py, end-to-end incl.
+    # radix repack): B=8 trades 7 % update (4.24 vs 4.58 ksym/s) for 43 %
+    # chainback (7.26 vs 5.08 Mbit/s); B=16 exhausts HBM under the bench's
+    # timing chains.
+    "viterbi224": 8,
 }
 
 
