@@ -134,3 +134,24 @@ def test_pallas_phase_fns_roundtrip(rng):
     _, words, _ = update_fn(m, prepare_fn(syms))
     out = chainback_fn(words)
     assert count_bit_errors(np.asarray(out), data) == 0
+
+
+def test_large_k_phase_fns_roundtrip(rng):
+    """The large-K lifecycle through dispatch.phase_fns (depth-4 routed
+    update + batched traceback), interpret mode on a mid-size R=2 trellis
+    (the K=24 route's exact code path at CPU-testable scale)."""
+    from ka9q_viterbi_comparison_tpu import CodeSpec
+
+    code = CodeSpec("k12r2", K=12, R=2, polys=(0o6731, 0o5247))
+    numeric = soft8_spec(code.R)
+    B, n_bytes = 2, 8
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+
+    init_fn, update_fn, chainback_fn, prepare_fn, _, _ = dispatch.phase_fns(
+        code, numeric, n_bytes * 8, batch=B
+    )
+    m = init_fn(B)
+    _, words, _ = update_fn(m, prepare_fn(syms))
+    out = chainback_fn(words)
+    assert count_bit_errors(np.asarray(out), data) == 0
