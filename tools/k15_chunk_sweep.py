@@ -30,13 +30,14 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-from ka9q_viterbi_comparison_tpu import VITERBI615, soft8_spec
+from ka9q_viterbi_comparison_tpu import STANDARD_CODES, soft8_spec
 from ka9q_viterbi_comparison_tpu.ops import acs
 from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
 from ka9q_viterbi_comparison_tpu.ops.pallas import inplace
 
 LOG = lambda *a: print(*a, flush=True)
-code = VITERBI615
+code = {c.name: c for c in STANDARD_CODES}[os.environ.get("SWEEP_CODE",
+                                                          "viterbi615")]
 numeric = soft8_spec(code.R)
 
 
