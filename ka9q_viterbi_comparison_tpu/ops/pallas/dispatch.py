@@ -73,15 +73,21 @@ def fits_inplace_vmem(code: CodeSpec, batch_padded: int) -> bool:
     W = max(1, S // 32)
     TB = inplace.pick_time_block_inplace(code, batch_padded)
     need = (
-        3 * S * batch_padded * 4
+        S * batch_padded * 4
         + (S // 2) * max(128, (code.K - 1) * code.R) * 4  # lane-padded e-table
         + 2 * TB * (code.R + W) * batch_padded * 4
     )
-    # The terms above mirror the kernel's exact block specs (metrics in/out
-    # + scratch, lane-padded e-table, double-buffered symbol/decision
-    # streams), so only modest headroom is needed: 1.3x admits K=15 B=256
-    # (66 MiB, compiles and runs on v5e -- tools/inplace_probe.py) while
-    # still rejecting B=512 (>100 MiB of metrics alone).
+    # The terms above mirror the kernel's exact block specs (ONE aliased
+    # in-place metric buffer -- input_output_aliases dropped the separate
+    # in/out/scratch copies -- plus the lane-padded e-table and the
+    # double-buffered symbol/decision streams).  On top of the VMEM fit, a
+    # measured-correctness envelope: K=15 at B=512 fits the budget but
+    # MIS-LOWERS on the current Mosaic toolchain (silently wrong metrics,
+    # both penalty paths -- tools/k15_chunk_sweep.py exactness gate), so
+    # the metric tile is capped at the largest validated size; K=7/9 at
+    # B=512 and K=15 at B=256 are exactness-verified on chip.
+    if S * batch_padded > 16384 * 256:
+        return False
     return need * 1.3 <= kernels.VMEM_CAP
 
 

@@ -18,7 +18,8 @@ from __future__ import annotations
 import os
 
 __all__ = ["KNOBS", "inplace_mode", "inplace_unroll", "inplace_mxu",
-           "inplace_chunk", "lk_depth", "lk2_tables", "lk2_residue"]
+           "inplace_pack_mxu", "inplace_chunk", "lk_depth", "lk2_tables",
+           "lk2_residue"]
 
 # name -> (default, meaning).  Keep in sync with README.md's knob table.
 KNOBS: dict[str, tuple[str, str]] = {
@@ -43,7 +44,9 @@ KNOBS: dict[str, tuple[str, str]] = {
         "real instruction mix, so offloading penalties to the idle MXU is "
         "the principal headroom (VERDICT r3 #4): measured K=15 B=256 on "
         "v5e, 83.5 vs 53.5 Msym/s at the old default chunk, bit-exact "
-        "(tools/k15_chunk_sweep.py). 0: VPU combo path.",
+        "(tools/k15_chunk_sweep.py). The kernel additionally gates the "
+        "path on S >= 2048: at K=7/9 (32/128 pairs total) the matmul "
+        "overhead LOSES 6-12 % (A/B via SWEEP_CODE). 0: VPU combo path.",
     ),
     "KA9Q_TPU_INPLACE_CHUNK": (
         "1024",
@@ -53,6 +56,17 @@ KNOBS: dict[str, tuple[str, str]] = {
         "path (tools/k15_chunk_sweep.py): 74.8/83.5/82.9 Msym/s at "
         "512/1024/2048; 4096 faults the TPU worker (Mosaic kernel crash) "
         "and 16384 does not finish compiling -- keep <= 2048.",
+    ),
+    "KA9Q_TPU_INPLACE_PACK_MXU": (
+        "0",
+        "Pack decision words in the in-place kernel as two exact bf16 "
+        "matmuls (16-bit weight halves, f32 accumulate) against a static "
+        "banded weight matrix instead of the multiply-by-2^g sublane "
+        "reduction on the VPU. MEASURED LOSS, default off: 65.9 vs 83.5 "
+        "Msym/s at K=15 B=256 (tools/k15_chunk_sweep.py with this flag) -- "
+        "the two extra matmuls per chunk serialize against the penalty "
+        "matmul on the single MXU and the bf16 cast of the [CH, B] "
+        "decision tile eats the VPU saving. Kept as an A/B hook.",
     ),
     "KA9Q_TPU_LK_DEPTH": (
         "4",
@@ -95,6 +109,10 @@ def inplace_unroll() -> int:
 
 def inplace_mxu() -> bool:
     return _get("KA9Q_TPU_INPLACE_MXU") != "0"
+
+
+def inplace_pack_mxu() -> bool:
+    return _get("KA9Q_TPU_INPLACE_PACK_MXU") == "1"
 
 
 def inplace_chunk() -> int:

@@ -40,15 +40,23 @@ consumed (``t0``); metrics enter/leave in position space of ``t0 mod (K-1)``
 (the public dispatch wrapper un/re-rotates to state order at block
 boundaries -- one static gather per *call*, amortised over the block).
 
-STATUS: default route for K 10..15 at padded batch >= 128 (see
+STATUS: default route for 5 < K <= 15 at padded batch >= 128 (see
 ``dispatch.use_inplace``).  The original whole-array formulation blew the
 Mosaic register allocator (254 MiB of spill slots at K=15 B=128); the
 shipped kernel bounds live ranges by processing each phase in fixed
 CH-row chunks, and the chunk addresses are expressed as
 induction-variable * tile-multiple sums so Mosaic's divisibility analysis
 can prove 8-sublane alignment (shift/AND/OR forms of the same address
-fail to compile).  Measured on v5e: 33.6/49.5 Msym/s at B=128/256 vs
-24.7 Msym/s for the HBM-streamed ``large_k2`` (``tools/inplace_probe.py``).
+fail to compile).  Round-4 upgrades, each A/B'd on v5e
+(``tools/k15_chunk_sweep.py``): branch-penalty combos evaluate as one
+exact bf16 MXU matmul per chunk for S >= 2048 (K=15: 83.5 vs 53.5 Msym/s;
+at K=7/9 the matmul overhead loses, so small trellises keep the VPU
+combos), the chunk size is 1024, and metrics update IN PLACE via
+``input_output_aliases`` (one S x B buffer instead of in + out + scratch
+-- K=7 B=512 gains 26 %, 9.2 Gsym/s isolated).  K=15 at B=512 fits VMEM
+under the aliased budget but MIS-LOWERS (silently wrong metrics), so
+``dispatch.fits_inplace_vmem`` caps the metric tile at the validated
+16384 x 256 envelope.
 """
 
 from __future__ import annotations
@@ -152,6 +160,19 @@ def _pack_weights(B: int) -> jnp.ndarray:
     return jax.lax.shift_left(jnp.ones((1, 32, 1), dtype=jnp.int32), j)
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_w_np(CH: int) -> np.ndarray:
+    """Banded decision-pack weight matrix for the MXU pack path
+    (``KA9Q_TPU_INPLACE_PACK_MXU``): ``w[h, q, 32q+16h+g] = 2^g`` for
+    g < 16 -- two 16-bit halves so the f32 accumulator stays exact."""
+    w = np.zeros((2, CH // 32, CH), np.float32)
+    for q in range(CH // 32):
+        for g in range(16):
+            w[0, q, 32 * q + g] = float(1 << g)
+            w[1, q, 32 * q + 16 + g] = float(1 << g)
+    return w
+
+
 # State-chunk rows processed per inner-loop iteration: bounds Mosaic's live
 # ranges (the full-array formulation spilled 254 MiB of registers at K=15).
 # Default; the KA9Q_TPU_INPLACE_CHUNK knob overrides (power of two, >= 32).
@@ -212,7 +233,12 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
     K = code.K
     nrot = K - 1
     CH = _chunk_size(S)
-    use_mxu = flags.inplace_mxu()
+    # MXU penalty evaluation pays only when chunks are MXU-sized: at K=7/9
+    # (S2 = 32/128 pairs TOTAL) the matmul launch overhead loses 6-12 % on
+    # hardware (tools/k15_chunk_sweep.py A/B via SWEEP_CODE), while K=15
+    # gains 1.6x -- so the flag additionally gates on trellis size.
+    use_mxu = flags.inplace_mxu() and S >= 2048
+    use_pack_mxu = flags.inplace_pack_mxu() and S >= 2048
     low = numeric.soft_low
     hl = numeric.soft_high + numeric.soft_low
     # XOR-flip per combo x = h*2+b (identical to kernels.py -- the flips are
@@ -224,15 +250,22 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
             ((b & p) ^ (h & (p >> (K - 1)))) & 1 for p in code.abs_polys()
         ))
 
-    def kernel(e_ref, sym_ref, m_in_ref, m_out_ref, dec_ref, m_scr):
-        # e_ref: [S2, nrot*R] pair-major; sym_ref: [TB, R, B]; m_in/out:
-        # [S, B] in position space; dec_ref: [TB, W, B] position-packed.
+    def kernel(*refs):
+        # e_ref: [S2, nrot*R] pair-major; [wp_ref: [2, CH/32, CH] bf16 when
+        # the MXU pack path is on;] sym_ref: [TB, R, B]; m_in/out: [S, B] in
+        # position space; dec_ref: [TB, W, B] position-packed.
+        if use_pack_mxu:
+            e_ref, wp_ref, sym_ref, _m_in, m_scr, dec_ref = refs
+        else:
+            e_ref, sym_ref, _m_in, m_scr, dec_ref = refs
+        # ``m_scr`` is the OUTPUT ref, aliased onto the metrics input
+        # (``input_output_aliases`` -- ``_m_in`` is the same buffer and is
+        # never read): the kernel updates metrics in place in VMEM across
+        # the whole grid -- no scratch buffer, no entry/exit copies, and two
+        # of the three S x B metric buffers disappear (admitting larger
+        # batches within the same VMEM).
         i = pl.program_id(0)
         nb = pl.num_programs(0)
-
-        @pl.when(i == 0)
-        def _():
-            m_scr[:] = m_in_ref[:]
 
         dkeys: list[tuple] = []
         for x in range(4):
@@ -314,8 +347,20 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
             return cands, decs
 
         def pack(dec, n):
-            """[n, B] 0/1 ints -> [n//32, B] packed words (position order)."""
+            """[n, B] 0/1 ints -> [n//32, B] packed words (position order).
+
+            MXU path: two banded bf16 matmuls with 16-bit weight halves
+            (exact: 0/1 decisions, f32 partial sums < 2^16) replace the
+            multiply-by-2^g sublane reduction."""
             B = dec.shape[1]
+            if use_pack_mxu:
+                d = dec.astype(jnp.bfloat16)
+                dims = (((1,), (0,)), ((), ()))
+                lo = jax.lax.dot_general(
+                    wp_ref[0], d, dims, preferred_element_type=jnp.float32)
+                hi = jax.lax.dot_general(
+                    wp_ref[1], d, dims, preferred_element_type=jnp.float32)
+                return lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
             return (dec.reshape(n // 32, 32, B) * _pack_weights(B)).sum(axis=1)
 
         def step(t, phase):
@@ -397,7 +442,6 @@ def _acs_inplace_kernel(code: CodeSpec, numeric: NumericSpec, TB: int,
             jax.lax.fori_loop(0, n_full, group, 0, unroll=False)
             for u in range(n_last % nrot):
                 step(n_full * nrot + u, (p0 + u) % nrot)
-            m_out_ref[:] = m_scr[:]
 
     return kernel
 
@@ -443,6 +487,17 @@ def acs_update_inplace(
 
     e_in = jnp.asarray(_phase_tables_np(code))  # [S2, nrot*R] pair-major
 
+    from . import flags as _flags
+
+    CH = _chunk_size(S)
+    use_pack_mxu = _flags.inplace_pack_mxu() and S >= 2048
+    extra_in = []
+    extra_specs = []
+    if use_pack_mxu:
+        extra_in.append(jnp.asarray(_pack_w_np(CH)).astype(jnp.bfloat16))
+        extra_specs.append(pl.BlockSpec((2, CH // 32, CH), lambda i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+
     kernel = _acs_inplace_kernel(code, numeric, TB, n_last, p0)
     m_out, dec = pl.pallas_call(
         kernel,
@@ -450,6 +505,7 @@ def acs_update_inplace(
         in_specs=[
             pl.BlockSpec((S // 2, nrot * R), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            *extra_specs,
             pl.BlockSpec((TB, R, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -459,7 +515,11 @@ def acs_update_inplace(
             pl.BlockSpec((TB, W, B), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((S, B), jnp.int32)],
+        # Metrics update IN PLACE: the [S, B] input aliases output 0, so the
+        # kernel holds ONE metric buffer instead of in + out + scratch (XLA
+        # inserts a defensive copy only when the caller still holds the
+        # input alive -- chained/scanned updates are linear and copy-free).
+        input_output_aliases={1 + len(extra_in) + 1: 0},
         out_shape=[
             jax.ShapeDtypeStruct((S, B), jnp.int32),
             jax.ShapeDtypeStruct((Tp, W, B), jnp.int32),
@@ -470,14 +530,14 @@ def acs_update_inplace(
                 int(
                     ((S // 2) * max(nrot * R, 128) * 4  # lane-padded e-table
                      + 2 * TB * R * B * 4
-                     + 3 * S * B * 4
+                     + S * B * 4
                      + 2 * TB * W * B * 4) * 1.8
                 ),
                 110 * 1024 * 1024,
             ),
         ),
         interpret=interpret,
-    )(e_in, symbols_trb, metrics_pos_sb)
+    )(e_in, *extra_in, symbols_trb, metrics_pos_sb)
     return m_out, jax.lax.bitcast_convert_type(dec, jnp.uint32)
 
 

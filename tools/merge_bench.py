@@ -40,6 +40,7 @@ def main() -> None:
     # Matrix order: config-major (K asc, R asc per the reference's run order),
     # then family order within a config.
     fam = ["tpu_pallas", "tpu_jnp", "cpu_native",
+           "tpu_pallas_s16", "tpu_jnp_s16", "cpu_native_s16",
            "tpu_pallas_ob", "tpu_jnp_ob", "cpu_native_ob"]
     rows = sorted(merged.values(),
                   key=lambda r: (r["K"], r["R"], fam.index(r["name"])))
