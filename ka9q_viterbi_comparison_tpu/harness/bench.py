@@ -145,15 +145,31 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str,
     # Always fuse penalty computation into the scan body: materialising
     # whole-frame penalties is O(T*B*2S) memory (17 GB for K=15 at B=64).
     fused = True
+    # Portable-path routing: mid-size trellises run the rotating-address
+    # formulation (``acs.acs_update_rotating`` + position-packed traceback)
+    # -- measured 1.9x the natural scan at K=15 B=256 on v5e (the natural
+    # body re-interleaves the [B, S] metric tensor at element granularity
+    # every step).  Small K keeps the natural scan (already winning cells);
+    # K=24 cannot compile the rotating gathers (HBM OOM -- see
+    # ``acs_update_rotating``'s routing note).
+    use_rot = 10 <= code.K <= 15
+
+    def _update(metrics, symbols):
+        if use_rot:
+            return acs.acs_update_rotating(code, numeric, metrics, symbols, 0)
+        return acs.acs_update(code, numeric, metrics, symbols, fused)
+
+    def _cb(words, endstate):
+        return cb.chainback(code, words, num_data_bits, endstate, use_rot)
 
     def init_fn(batch: int):
         return acs.init_metrics(code, numeric, batch)
 
     def update_fn(metrics, symbols):
-        return acs.acs_update(code, numeric, metrics, symbols, fused)
+        return _update(metrics, symbols)
 
     def chainback_fn(words):
-        return cb.chainback(code, words, num_data_bits)
+        return _cb(words, 0)
 
     def prepare_fn(symbols):
         return jax.block_until_ready(symbols.astype(jnp.int32))
@@ -164,11 +180,11 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str,
         # independent of k.
         @jax.jit
         def run(words):
-            out0 = cb.chainback(code, words, num_data_bits, jnp.int32(0))
+            out0 = _cb(words, jnp.int32(0))
 
             def body(_, carry):
                 es, prev = carry
-                out = cb.chainback(code, words, num_data_bits, es)
+                out = _cb(words, es)
                 return out[0, -1].astype(jnp.int32), out
 
             _, out = jax.lax.fori_loop(
@@ -181,11 +197,11 @@ def _phases_for_backend(code: CodeSpec, numeric: NumericSpec, backend: str,
     def make_update_chain(k):
         @jax.jit
         def run(metrics, symbols):
-            m, w, _ = acs.acs_update(code, numeric, metrics, symbols, fused)
+            m, w, _ = _update(metrics, symbols)
 
             def body(_, carry):
                 m, w = carry
-                m2, w2, _ = acs.acs_update(code, numeric, m, symbols, fused)
+                m2, w2, _ = _update(m, symbols)
                 return (m2, w2)
 
             return jax.lax.fori_loop(0, k - 1, body, (m, w))

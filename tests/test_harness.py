@@ -92,3 +92,24 @@ def test_marginal_update_timer_runs_on_cpu():
     rate = time_update_marginal(code, numeric, syms, backend="jnp",
                                 n_chain=2, iters=1)
     assert rate > 0
+
+
+def test_jnp_family_rotating_route_roundtrip():
+    """The jnp family routes mid-size trellises (10 <= K <= 15) through the
+    rotating-address formulation (harness/bench.py `use_rot`): the phase
+    bench must still decode with zero BER through its position-packed
+    chainback chains."""
+    import jax.numpy as jnp
+
+    from ka9q_viterbi_comparison_tpu import CodeSpec, soft8_spec
+    from ka9q_viterbi_comparison_tpu.harness.bench import run_phase_bench
+    from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
+
+    code = CodeSpec("k11r2", K=11, R=2, polys=(0o3345, 0o3613))
+    numeric = soft8_spec(code.R)
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, size=(2, 8), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data))
+    r = run_phase_bench(code, numeric, data, syms, name="tpu_jnp",
+                        backend="jnp", sampling_time=0.02, minimum_samples=2)
+    assert r.total_bit_errors == 0

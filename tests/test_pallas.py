@@ -155,3 +155,16 @@ def test_large_k_phase_fns_roundtrip(rng):
     _, words, _ = update_fn(m, prepare_fn(syms))
     out = chainback_fn(words)
     assert count_bit_errors(np.asarray(out), data) == 0
+
+
+def test_inplace_admission_respects_validated_envelope():
+    """fits_inplace_vmem gates on the measured-correctness envelope, not
+    just the VMEM budget: K=15 at padded batch 512 FITS the aliased
+    kernel's VMEM but mis-lowers on the current Mosaic toolchain (silently
+    wrong metrics on chip -- tools/k15_chunk_sweep.py exactness gate), so
+    admission must reject it while keeping the verified points."""
+    from ka9q_viterbi_comparison_tpu import VITERBI27, VITERBI615
+
+    assert dispatch.fits_inplace_vmem(VITERBI27, 512)
+    assert dispatch.fits_inplace_vmem(VITERBI615, 256)
+    assert not dispatch.fits_inplace_vmem(VITERBI615, 512)
