@@ -71,7 +71,8 @@ harness/bench.py).  Families:
 
 * `tpu_pallas` — fused Pallas kernels (in-place rotating-address VMEM
   kernels for K<=15; state-blocked HBM-streamed for K=24)
-* `tpu_jnp`    — portable XLA `lax.scan` path
+* `tpu_jnp`    — portable XLA path (`lax.scan`; rotating-address
+  formulation for 10 ≤ K ≤ 15 where it measures 1.9× — harness/bench.py)
 * `cpu_native` — the C++ host decoder (serial per frame), the in-repo CPU
   baseline.  It runs on this rig's VM cores; compare it against the
   reference's desktop-CPU numbers in BASELINE.md only directionally.
