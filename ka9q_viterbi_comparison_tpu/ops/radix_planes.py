@@ -194,8 +194,12 @@ def build_plane_tables(code: CodeSpec, words: jnp.ndarray, anchor: int = 0,
 
         {"f4":  [n4, 4, B, W],   # nibble-packed F_4: state s's field in
                                  #   nibble (s>>2)&7 of word (d=s&3, s>>5)
-         "g4":  [2*n4, B, W],    # G_4 bit j of window p at row 2p+j
-         "g2":  [n2, B, W]}      # G_2 of window p
+         "g2":  [n2, B, W]}      # G_2 of window p (width-2 remainder segs)
+
+    The G_4 planes are internal to the F_4 construction and are NOT stored:
+    the walk only ever reads ``f4`` (full windows) and ``g2``/``words``
+    (remainder segments), so materialising a stacked g4 table was pure
+    relayout + HBM-write waste (~0.5 GB round trip per K=24 B=8 update).
 
     plus ``"f8": [n8, 8, B, W]`` (byte-packed F_8, state s in byte s&3 of
     word (d=(s>>2)&7, s>>5)) when ``max_width = 8``.  All uint32 canonical
@@ -234,7 +238,6 @@ def build_plane_tables(code: CodeSpec, words: jnp.ndarray, anchor: int = 0,
     g2_lo = g2[0 : 2 * n4 : 2]
     g2_hi = g2[1 : 2 * n4 : 2]
     g4_0, g4_1 = _plane_gather([d1_lo, g2_lo], [d1_hi, g2_hi], 2)
-    tables["g4"] = jnp.stack([g4_0, g4_1], axis=1).reshape(2 * n4, B, W)
 
     # Nibble-pack F_4 = (G_4 << 2) | (G_2 << 1) | D(last) so the width-4
     # walk issues ONE single-word fetch per window per frame (a strided
