@@ -389,10 +389,30 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
         anchor = code.K - 1 if use_planes else 0
         cb_fn = chainback if supports_chainback(code) else cb.chainback
 
+        from . import large_k
+
+        lk4_ok = (flags.lk_depth() >= 4 and code.R <= 2
+                  and large_k.pick_state_block(code) >= 16 * 32)
+        lead = anchor % 4
+
+        def _use_fields(T: int) -> bool:
+            # Kernel-emitted walk fields: no decision words, no XLA repack
+            # (ops/pallas/large_k4.py module docstring).  Every reference
+            # frame satisfies the span condition (T - (K-1) = 8*bytes).
+            return (use_planes and lk4_ok and flags.k24_fields()
+                    and T > anchor and (T - anchor) % 4 == 0)
+
         def init_fn(batch):
             return acs.init_metrics(code, numeric, batch)
 
         def update_fn(metrics, symbols):
+            if use_planes and _use_fields(symbols.shape[1]):
+                from . import large_k4
+
+                m, f4, off = large_k4.acs_update_large4_fields(
+                    code, numeric, metrics, symbols, lead, interp_lg)
+                skip = (anchor - lead) // 4
+                return m, {"f4": f4[skip:]}, off
             if use_planes:
                 m, w_tm, off = _large_update(
                     code, numeric, metrics, symbols, interp_lg, True)
@@ -410,6 +430,10 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
 
         def _cb_impl(words, endstate):
             if use_planes:
+                if isinstance(words, dict):  # kernel-emitted fields route
+                    return rp.chainback_planes(code, None, words,
+                                               num_data_bits, endstate,
+                                               anchor)
                 w_tm, tabs = words
                 return rp.chainback_planes(code, w_tm, tabs, num_data_bits,
                                            endstate, anchor)

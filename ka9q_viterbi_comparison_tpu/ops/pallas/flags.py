@@ -19,7 +19,7 @@ import os
 
 __all__ = ["KNOBS", "inplace_mode", "inplace_unroll", "inplace_mxu",
            "inplace_pack_mxu", "inplace_chunk", "lk_depth", "lk2_tables",
-           "lk2_residue"]
+           "lk2_residue", "k24_fields"]
 
 # name -> (default, meaning).  Keep in sync with README.md's knob table.
 KNOBS: dict[str, tuple[str, str]] = {
@@ -82,6 +82,16 @@ KNOBS: dict[str, tuple[str, str]] = {
         "(R <= 2 only). Measured time-identical to the in-kernel parity "
         "fold at K=24 (tools/k24_sweep.py); kept default-on. 0: fold path.",
     ),
+    "KA9Q_TPU_K24_FIELDS": (
+        "1",
+        "Emit the width-4 walk-field table directly from the depth-4 "
+        "large-K kernel (one extra select per ACS level) instead of "
+        "building it from decision words in XLA after the update "
+        "(ops/radix_planes.py build_plane_tables). Removes the ~73 ms "
+        "radix-repack surcharge from the K=24 update phase; requires the "
+        "depth-4 route (R <= 2) and a window span T - (K-1) divisible by "
+        "4 (every reference frame). 0: words + XLA repack route.",
+    ),
     "KA9Q_TPU_LK2_RESIDUE": (
         "0",
         "Carry the K=24 metric tensor between pairs in mod-4 column-residue "
@@ -129,3 +139,7 @@ def lk2_tables() -> bool:
 
 def lk2_residue() -> bool:
     return _get("KA9Q_TPU_LK2_RESIDUE") == "1"
+
+
+def k24_fields() -> bool:
+    return _get("KA9Q_TPU_K24_FIELDS") != "0"

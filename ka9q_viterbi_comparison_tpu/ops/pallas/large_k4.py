@@ -40,6 +40,22 @@ them from the words in jnp (measured cheaper than kernel emission --
 
 Used for ``T // 4`` quads; the 0-3 step remainder delegates to
 ``large_k2.acs_update_large2`` (which itself handles its odd tail).
+
+**Direct field emission** (``acs_update_large4_fields``): the ACS's
+surviving predecessor IS the traceback next-state (``pred = (i >> 1) |
+(d << (K-2))``, ref: ka9q_libfec_port/viterbi27_sse2.cpp:101-102), so the
+kernel can propagate each intermediate's packed survivor-path bits through
+its four levels with one extra select per level -- ``pf_l(i) =
+(pf_{l-1}(pred_win) << 1) | d_l`` -- and emit the width-4 walk field
+``F_4`` of every final state directly, nibble-packed in the exact layout
+``ops.radix_planes.build_plane_tables`` produces (state ``s`` in nibble
+``(s>>2)&7`` of word ``(d=s&3, s>>5)``).  That removes the whole
+XLA-side radix repack from the K=24 update phase (the repack ran at ~12 %
+of HBM because Mosaic cannot lower its lane repeat -- ARCHITECTURE.md) at
+the cost of in-kernel selects the VPU has headroom for; decision words are
+NOT written in this mode (the walk never reads them when the window span
+``T - anchor`` is a multiple of 4, which every reference frame satisfies:
+``T - (K-1) = 8*bytes``), so decision-related HBM writes are unchanged.
 """
 
 from __future__ import annotations
@@ -55,7 +71,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...configs import CodeSpec, NumericSpec
 from . import large_k, large_k2
 
-__all__ = ["acs_update_large4"]
+__all__ = ["acs_update_large4", "acs_update_large4_fields"]
 
 PACK = 32
 
@@ -88,8 +104,13 @@ def _par_tables4_np(code: CodeSpec):
     return t2, t3
 
 
-def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt):
-    """Lb: predecessor columns per input range block (= blk / (16*32))."""
+def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt,
+                 want_fields: bool = False):
+    """Lb: predecessor columns per input range block (= blk / (16*32)).
+
+    ``want_fields``: emit the nibble-packed width-4 walk field table
+    instead of the four per-step decision-word tensors (see module
+    docstring); output refs become ``(m_out, f4)``."""
     K, R = code.K, code.R
     low = numeric.soft_low
     high = numeric.soft_high
@@ -110,7 +131,10 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt):
         t1s = refs[25:33]                # 8 x [32, Lb]   (b1*4 + m2)
         t2s = refs[33:35]                # 2 x [4, 32, Lb] (m3)
         t3_ref = refs[35]                # [8, 32, Lb]
-        m_out_ref, w1_ref, w2_ref, w3_ref, w4_ref = refs[36:41]
+        if want_fields:
+            m_out_ref, f4_ref = refs[36:38]
+        else:
+            m_out_ref, w1_ref, w2_ref, w3_ref, w4_ref = refs[36:41]
         B = ins[0].shape[0]
 
         # Per-step symbol affine pieces (compute int32; storage mdt).
@@ -154,7 +178,13 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt):
             c_lo = lo + pen_lo
             c_hi = hi + pen_hi
             d = c_hi < c_lo  # ties keep the low predecessor
-            return jnp.where(d, c_hi, c_lo), d.astype(jnp.int32)
+            return jnp.where(d, c_hi, c_lo), d
+
+        def pf_step(d, pf_hi, pf_lo):
+            # Survivor-path field: prepend this level's decision at bit 0
+            # (the walk consumes latest-first) above the winning
+            # predecessor's accumulated field.
+            return (jnp.where(d, pf_hi, pf_lo) << 1) | d.astype(jnp.int32)
 
         def w_shift(height, stride, k):
             q = jax.lax.broadcasted_iota(jnp.int32, (1, height, 1), 1)
@@ -170,17 +200,19 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt):
             pen = table_pens(0, t0s[m][:])
             for b1 in (0, 1):
                 cand1[(m, b1)], d1[(m, b1)] = acs(lo, hi, pen, b1)
-        # step-t words: i1 = 64c + 2g + b1 -> word col 2c + (g>=16),
-        # bit 2*(g&15) + b1.  w1_ref row 2m + par.
-        for m in range(8):
-            for par, sl in ((0, slice(0, 16)), (1, slice(16, 32))):
-                acc = (d1[(m, 0)][:, sl] * w_shift(16, 2, 0)
-                       + d1[(m, 1)][:, sl] * w_shift(16, 2, 1))
-                w1_ref[:, 2 * m + par] = acc.sum(axis=1)
+        if not want_fields:
+            # step-t words: i1 = 64c + 2g + b1 -> word col 2c + (g>=16),
+            # bit 2*(g&15) + b1.  w1_ref row 2m + par.
+            for m in range(8):
+                for par, sl in ((0, slice(0, 16)), (1, slice(16, 32))):
+                    acc = (d1[(m, 0)][:, sl] * w_shift(16, 2, 0)
+                           + d1[(m, 1)][:, sl] * w_shift(16, 2, 1))
+                    w1_ref[:, 2 * m + par] = acc.sum(axis=1)
 
         # ---- level 2 (step t+1): 4 groups x k2 ----
         cand2 = {}
         d2 = {}
+        pf2 = {}
         for m2 in range(4):
             for b1 in (0, 1):
                 pen = table_pens(1, t1s[b1 * 4 + m2][:])
@@ -188,19 +220,26 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt):
                     k2 = 2 * b1 + b2
                     cand2[(m2, k2)], d2[(m2, k2)] = acs(
                         cand1[(m2, b1)], cand1[(m2 + 4, b1)], pen, b2)
-        # step-t+1 words: i2 -> word col 4c + (g>>3), bit 4*(g&7) + k2.
-        for m2 in range(4):
-            for q in range(4):
-                rows = slice(8 * q, 8 * q + 8)
-                acc = None
-                for k2 in range(4):
-                    piece = d2[(m2, k2)][:, rows] * w_shift(8, 4, k2)
-                    acc = piece if acc is None else acc + piece
-                w2_ref[:, 4 * m2 + q] = acc.sum(axis=1)
+                    if want_fields:
+                        pf2[(m2, k2)] = pf_step(
+                            d2[(m2, k2)],
+                            d1[(m2 + 4, b1)].astype(jnp.int32),
+                            d1[(m2, b1)].astype(jnp.int32))
+        if not want_fields:
+            # step-t+1 words: i2 -> word col 4c + (g>>3), bit 4*(g&7) + k2.
+            for m2 in range(4):
+                for q in range(4):
+                    rows = slice(8 * q, 8 * q + 8)
+                    acc = None
+                    for k2 in range(4):
+                        piece = d2[(m2, k2)][:, rows] * w_shift(8, 4, k2)
+                        acc = piece if acc is None else acc + piece
+                    w2_ref[:, 4 * m2 + q] = acc.sum(axis=1)
 
         # ---- level 3 (step t+2): 2 groups x k3 ----
         cand3 = {}
         d3 = {}
+        pf3 = {}
         for m3 in range(2):
             for k2 in range(4):
                 pen = table_pens(2, t2s[m3][k2])
@@ -208,34 +247,57 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt):
                     k3 = 2 * k2 + b3
                     cand3[(m3, k3)], d3[(m3, k3)] = acs(
                         cand2[(m3, k2)], cand2[(m3 + 2, k2)], pen, b3)
-        # step-t+2 words: i3 -> word col 8c + (g>>2), bit 8*(g&3) + k3.
-        for m3 in range(2):
-            for q3 in range(8):
-                rows = slice(4 * q3, 4 * q3 + 4)
-                acc = None
-                for k3 in range(8):
-                    piece = d3[(m3, k3)][:, rows] * w_shift(4, 8, k3)
-                    acc = piece if acc is None else acc + piece
-                w3_ref[:, 8 * m3 + q3] = acc.sum(axis=1)
+                    if want_fields:
+                        pf3[(m3, k3)] = pf_step(
+                            d3[(m3, k3)], pf2[(m3 + 2, k2)], pf2[(m3, k2)])
+        if not want_fields:
+            # step-t+2 words: i3 -> word col 8c + (g>>2), bit 8*(g&3) + k3.
+            for m3 in range(2):
+                for q3 in range(8):
+                    rows = slice(4 * q3, 4 * q3 + 4)
+                    acc = None
+                    for k3 in range(8):
+                        piece = d3[(m3, k3)][:, rows] * w_shift(4, 8, k3)
+                        acc = piece if acc is None else acc + piece
+                    w3_ref[:, 8 * m3 + q3] = acc.sum(axis=1)
 
         # ---- level 4 (step t+3): final states ----
         cand4 = {}
         d4 = {}
+        pf4 = {}
         for k3 in range(8):
             pen = table_pens(3, t3_ref[k3])
             for b4 in (0, 1):
                 k4 = 2 * k3 + b4
                 cand4[k4], d4[k4] = acs(
                     cand3[(0, k3)], cand3[(1, k3)], pen, b4)
+                if want_fields:
+                    pf4[k4] = pf_step(d4[k4], pf3[(1, k3)], pf3[(0, k3)])
         # step-t+3 words + final metrics: f -> word col 16c + (g>>1),
         # bit 16*(g&1) + k4; metric rows 16*(g&1) + k4 of residue q4 = g>>1.
+        # In fields mode the walk-field nibble of final state f sits at
+        # nibble e = 4*(g&1) + (k4>>2) of word (d = k4&3, 16c + (g>>1)) --
+        # the radix_planes f4 layout exactly.
+        def f_shift(h):
+            q = jax.lax.broadcasted_iota(jnp.int32, (1, 2, 1), 1)
+            return jax.lax.shift_left(jnp.ones((1, 2, 1), jnp.int32),
+                                      16 * q + 4 * h)
+
         for q4 in range(16):
             rows = slice(2 * q4, 2 * q4 + 2)
-            acc = None
-            for k4 in range(16):
-                piece = d4[k4][:, rows] * w_shift(2, 16, k4)
-                acc = piece if acc is None else acc + piece
-            w4_ref[:, q4] = acc.sum(axis=1)
+            if want_fields:
+                for dd in range(4):
+                    acc = None
+                    for h in range(4):
+                        piece = pf4[4 * h + dd][:, rows] * f_shift(h)
+                        acc = piece if acc is None else acc + piece
+                    f4_ref[:, dd, q4] = acc.sum(axis=1)
+            else:
+                acc = None
+                for k4 in range(16):
+                    piece = d4[k4][:, rows] * w_shift(2, 16, k4)
+                    acc = piece if acc is None else acc + piece
+                w4_ref[:, q4] = acc.sum(axis=1)
             stacked = jnp.stack(
                 [cand4[k4][:, rows] for k4 in range(16)], axis=2
             ).reshape(B, PACK, Lb)
@@ -396,3 +458,160 @@ def acs_update_large4(
     if not time_major:
         all_words = all_words.transpose(1, 0, 2)
     return m_final, all_words, entry_shift
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+def acs_update_large4_fields(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    metrics: jnp.ndarray,
+    symbols: jnp.ndarray,
+    lead: int = 0,
+    interpret: bool = False,
+    metric_dtype: str | None = None,
+):
+    """Depth-4 update emitting the width-4 walk field table directly.
+
+    ``lead`` initial trellis steps run through the depth-2 kernel (their
+    decision words are discarded -- callers only use this route when the
+    walk anchor is >= ``lead``, so those decisions are never read); the
+    remaining ``T - lead`` steps (must be a multiple of 4) run through the
+    field-propagating quad kernel.
+
+    Returns ``(metrics [B, S] int32, f4 [T4, 4, B, W] uint32, offset [B]
+    int32)`` where window p of ``f4`` covers trellis steps ``[lead + 4p,
+    lead + 4p + 4)`` in the exact nibble-packed layout of
+    ``ops.radix_planes.build_plane_tables`` (state ``s`` in nibble
+    ``(s>>2)&7`` of word ``(d = s&3, s>>5)``), so
+    ``ops.radix_planes.chainback_plane_bits`` walks it unchanged.
+    """
+    if code.R > 2:
+        raise ValueError("depth-4 kernel streams parity tables (R <= 2)")
+    B, S = metrics.shape
+    _, T, R = symbols.shape
+    if (T - lead) % 4:
+        raise ValueError(f"T - lead must be a multiple of 4, got {T - lead}")
+    entry_shift = jnp.zeros((B,), dtype=jnp.int32)
+    if lead:
+        metrics, _, entry_shift = large_k2.acs_update_large2.__wrapped__(
+            code, numeric, metrics, symbols[:, :lead], interpret,
+            metric_dtype, False, True)
+    metrics, shift0 = large_k._shift_to_zero(metrics)
+    entry_shift = entry_shift + shift0
+    blk = large_k.pick_state_block(code)
+    NB = S // blk
+    C = S // PACK
+    Lb = blk // (16 * PACK)
+    assert NB * Lb * 16 == C
+
+    T4 = (T - lead) // 4
+    if metric_dtype is None:
+        metric_dtype = numeric.metric_dtype
+    if metric_dtype != "auto":
+        mdt = jnp.dtype(metric_dtype).type
+    else:
+        mdt = large_k.metric_dtype_for(code, numeric, T)
+    rn = 0
+    mbe = numeric.max_branch_error(R)
+    spread = numeric.initial_margin + (code.K - 1) * mbe
+    if spread + (T + 8) * mbe >= 30000:
+        rn_fit = (29000 - spread) // max(1, 4 * mbe)
+        if mdt == jnp.int16:
+            if rn_fit < 1:
+                raise ValueError(
+                    f"int16 metrics cannot hold the {numeric.name} spread "
+                    f"{spread} even with per-quad renormalisation")
+            rn = max(1, int(rn_fit))
+        elif metric_dtype == "auto" and rn_fit >= 2:
+            mdt = jnp.int16
+            rn = int(rn_fit)
+
+    kernel = _quad_kernel(code, numeric, Lb, NB, mdt, want_fields=True)
+    in_spec = lambda k: pl.BlockSpec(
+        (B, PACK, Lb), lambda j, k=k: (0, 0, j + k * NB),
+        memory_space=pltpu.VMEM)
+    sym_spec = pl.BlockSpec((B, 4 * R), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    tspec = lambda off: pl.BlockSpec(
+        (PACK, Lb), lambda j, off=off: (0, j + off), memory_space=pltpu.VMEM)
+    t2spec = lambda off: pl.BlockSpec(
+        (4, PACK, Lb), lambda j, off=off: (0, 0, j + off),
+        memory_space=pltpu.VMEM)
+    t3spec = pl.BlockSpec((8, PACK, Lb), lambda j: (0, 0, j),
+                          memory_space=pltpu.VMEM)
+
+    t0_np, t1_np = large_k2._par_tables_np(code)
+    t2_np, t3_np = _par_tables4_np(code)
+    t0 = jnp.asarray(t0_np)
+    t1a, t1b = jnp.asarray(t1_np[0]), jnp.asarray(t1_np[1])
+    t2 = jnp.asarray(t2_np)
+    t3 = jnp.asarray(t3_np)
+
+    in_specs = [in_spec(k) for k in range(16)]
+    in_specs.append(sym_spec)
+    in_specs += [tspec(m * NB) for m in range(8)]
+    in_specs += [tspec(m2 * NB) for m2 in range(4)]
+    in_specs += [tspec(m2 * NB) for m2 in range(4)]
+    in_specs += [t2spec(0), t2spec(NB)]
+    in_specs.append(t3spec)
+
+    C16 = C // 16
+    m_shape = jax.ShapeDtypeStruct((B, 16, PACK, C16), mdt)
+    f4_shape = jax.ShapeDtypeStruct((B, 4, 16, C16), jnp.int32)
+    out_specs = [
+        pl.BlockSpec((B, 16, PACK, Lb), lambda j: (0, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, 4, 16, Lb), lambda j: (0, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    step_call = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[m_shape, f4_shape],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    m3 = metrics.reshape(B, C, PACK).transpose(0, 2, 1).astype(mdt)
+
+    if T4:
+        sym_quads = (symbols[:, lead : lead + 4 * T4]
+                     .reshape(B, T4, 4 * R).transpose(1, 0, 2))
+
+        def quad_body(carry, xs):
+            m3, off = carry
+            i, sym_quad = xs
+            args = (m3,) * 16
+            m_out, f4b = step_call(
+                *args, sym_quad, *(t0,) * 8, t1a, t1a, t1a, t1a,
+                t1b, t1b, t1b, t1b, t2, t2, t3)
+            m_next = m_out.transpose(0, 2, 3, 1).reshape(B, PACK, C)
+            if rn:
+                def renorm(m, o):
+                    mn = m.min(axis=(1, 2))
+                    return m - mn[:, None, None], o + mn.astype(jnp.int32)
+
+                m_next, off = jax.lax.cond(
+                    (i % rn) == rn - 1, renorm, lambda m, o: (m, o),
+                    m_next, off)
+            # f4b [B, 4, 16, C16] -> natural word col 16c + q4 -> [4, B, C]
+            f4n = (f4b.transpose(0, 1, 3, 2).reshape(B, 4, C)
+                   .transpose(1, 0, 2))
+            return (m_next, off), f4n
+
+        off0 = jnp.zeros((B,), dtype=jnp.int32)
+        xs = (jnp.arange(T4, dtype=jnp.int32), sym_quads)
+        (m3, scan_off), f4_tm = jax.lax.scan(quad_body, (m3, off0), xs)
+        entry_shift = entry_shift + scan_off
+    else:
+        f4_tm = jnp.zeros((0, 4, B, C), jnp.int32)
+
+    m_final = m3.astype(jnp.int32).transpose(0, 2, 1).reshape(B, S)
+    f4 = jax.lax.bitcast_convert_type(f4_tm, jnp.uint32)
+    return m_final, f4, entry_shift

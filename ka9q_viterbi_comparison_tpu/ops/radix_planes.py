@@ -306,19 +306,35 @@ def chainback_plane_bits(
     tail" skip, viterbi27_sse2.cpp:97), so ``anchor = K-1`` removes their
     fetch rounds.  Requires ``anchor <= K-1`` (all kept bits walked).
 
+    ``words`` may be ``None`` when ``T - anchor`` is a multiple of the
+    walk width (every reference frame: ``T - (K-1) = 8*bytes``): the plan
+    is then pure full-width windows and only ``tables["f4"]`` is read --
+    the kernel-emitted-field route (``ops.pallas.large_k4
+    .acs_update_large4_fields``) supplies exactly that, with no decision
+    words materialised at all.  ``T`` is inferred from the table.
+
     Returns ``(bits [B, num_data_bits] uint8, state_at_anchor [B] int32)``.
     """
-    T, B, W = words.shape
+    f4 = tables["f4"]
+    f8 = tables.get("f8")
+    g2 = tables.get("g2")
+    if words is None:
+        n4, _, B, W = f4.shape
+        T = anchor + 4 * n4
+    else:
+        T, B, W = words.shape
     n = code.K - 1
     if anchor > n:
         raise ValueError("anchor must be <= K-1 (kept bits start at K-1)")
-    g2, f4 = tables["g2"], tables["f4"]
-    f8 = tables.get("f8")
     mask = jnp.int32(code.num_states - 1)
     state = list(jnp.broadcast_to(
         jnp.asarray(endstate, dtype=jnp.int32) & mask, (B,)))
 
     segs = plane_plan(T, anchor, 8 if f8 is not None else 4)
+    if words is None and any(w < 4 for _, w in segs):
+        raise ValueError(
+            "f4-only walk needs T - anchor to be a multiple of 4 "
+            f"(got T={T}, anchor={anchor})")
     pieces: dict[int, tuple] = {}
     for t0, width in segs:
         a0 = t0 - anchor

@@ -134,6 +134,41 @@ def test_plane_roundtrip_decode_dispatch_route():
     assert count_bit_errors(np.asarray(out), data) == 0
 
 
+@pytest.mark.parametrize("code", [K10, K11], ids=["k10", "k11"])
+def test_kernel_emitted_fields_match_jnp_builder(code, rng):
+    """The depth-4 kernel's in-kernel field propagation must produce the
+    EXACT nibble-packed f4 table the jnp builder derives from decision
+    words, and the f4-only walk must decode exactly (the routed K=24
+    update path, ops/pallas/large_k4.acs_update_large4_fields)."""
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k4
+    from ka9q_viterbi_comparison_tpu.utils.bits import bits_to_bytes
+
+    numeric = soft8_spec(code.R)
+    B, nbytes = 2, 6
+    data = rng.integers(0, 256, size=(B, nbytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+    T = syms.shape[1]
+    anchor = code.K - 1
+    lead = anchor % 4
+    assert (T - anchor) % 4 == 0  # every frame span: T - (K-1) = 8*bytes
+
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, w_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    tabs_ref = rp.build_plane_tables(
+        code, jnp.transpose(w_ref, (1, 0, 2)), anchor)
+
+    m_f, f4, _ = large_k4.acs_update_large4_fields(
+        code, numeric, m0, syms, lead, True)
+    np.testing.assert_array_equal(np.asarray(m_f), np.asarray(m_ref))
+    skip = (anchor - lead) // 4
+    np.testing.assert_array_equal(
+        np.asarray(f4[skip:]), np.asarray(tabs_ref["f4"]))
+
+    bits, _ = rp.chainback_plane_bits(
+        code, None, {"f4": f4[skip:]}, nbytes * 8, 0, anchor)
+    assert count_bit_errors(np.asarray(bits_to_bytes(bits)), data) == 0
+
+
 def test_plane_tables_reject_small_trellis():
     small = CodeSpec("k9", K=9, R=2, polys=(0x1AF, 0x11D))
     words = jnp.zeros((16, 1, 8), jnp.uint32)
