@@ -1,0 +1,119 @@
+// External-oracle shim: uniform C ABI over the REFERENCE decoders.
+//
+// This file contains no decoding logic of its own.  It is compiled at test
+// time together with the reference's unmodified sources
+// (/root/reference/ka9q_libfec_port/viterbi{27,29,615,224}_sse2.cpp,
+// /root/reference/spiral/spiral{27,615}.cpp) into a shared library, so the
+// framework's decoders can be validated against the actual ka9q/SPIRAL
+// binaries rather than in-repo reimplementations (VERDICT r4 item 2).
+// Each entry point runs the reference's full 3-phase lifecycle
+// (create/init -> update -> chainback/delete, the contract of
+// src/main.cpp:257-280) over a caller-supplied u8 symbol stream and
+// returns the decoded bytes plus the chainback return value (the path
+// metric for the s16 families, ref: viterbi615_sse2.cpp:76-90).
+//
+// Build (tests/test_reference_oracle.py):
+//   g++ -O2 -march=native -fPIC -shared -I$REF \
+//       native/ref_oracle_shim.cpp $REF/ka9q_libfec_port/*.cpp \
+//       $REF/spiral/spiral27.cpp $REF/spiral/spiral615.cpp -o shim.so
+
+#include <cstring>
+
+#include "ka9q_libfec_port/viterbi27_sse2.h"
+#include "ka9q_libfec_port/viterbi29_sse2.h"
+#include "ka9q_libfec_port/viterbi615_sse2.h"
+#include "ka9q_libfec_port/viterbi224_sse2.h"
+#include "spiral/spiral27.h"
+#include "spiral/spiral615.h"
+
+// One lifecycle per family.  `ndata_bits` = payload bits; the symbol
+// buffer must hold (ndata_bits + K - 1) * R bytes.  `endstate` is passed
+// through to the reference chainback (the harness always passes 0,
+// src/ka9q_interface.h:53-55 -- which for v224 discards the last K-1
+// data bits still in the register; tests/test_reference_oracle.py
+// measures both usages).  Returns the chainback return value (0 for the
+// u8-metric families, the path metric for the s16 ones).
+#define DEFINE_ORACLE(fn_name, prefix, strct, K, R, upd)                   \
+    extern "C" int fn_name(const int *poly, const unsigned char *syms,     \
+                           int ndata_bits, unsigned int endstate,          \
+                           unsigned char *out) {                           \
+        const int total_bits = ndata_bits + (K) - 1;                       \
+        struct strct *vp = create_##prefix(poly, total_bits + 8);          \
+        if (!vp) return -1;                                                \
+        init_##prefix(vp, 0);                                              \
+        /* update mutates its symbol buffer in some families; copy */      \
+        unsigned char *buf = new unsigned char[(size_t)total_bits * (R)];  \
+        std::memcpy(buf, syms, (size_t)total_bits * (R));                  \
+        upd(vp, buf, total_bits);                                          \
+        const int rc = chainback_##prefix(vp, out, ndata_bits, endstate);  \
+        delete_##prefix(vp);                                               \
+        delete[] buf;                                                      \
+        return rc;                                                         \
+    }
+
+// Layout mirror of `struct v615` (viterbi615_sse2.cpp:13-27; opaque in its
+// header), used only to reach the decision buffer for the corrected walk
+// below.  Validated by the noiseless-recovery oracle test.
+namespace {
+struct v615_mirror {
+    alignas(16) short metrics1[16384];
+    alignas(16) short metrics2[16384];
+    void *dp;
+    void *old_metrics;
+    void *new_metrics;
+    void *decisions;
+};
+}  // namespace
+
+// The shipped v615 chainback indexes decisions as `unsigned long w[512]`
+// with 32-bit-word arithmetic (`w[endstate/32] >> (endstate%32)`,
+// viterbi615_sse2.cpp:85); on LP64 platforms `long` is 8 bytes, so the
+// union layout differs from what the update loop wrote through `s[1024]`
+// and the walk reads the wrong half-words -- the reference's own Linux
+// builds mis-decode K=15 even on noiseless input (measured:
+// tests/test_reference_oracle.py::test_v615_lp64_chainback_bug).  This
+// entry runs the reference's create/init/update unmodified, then performs
+// the INTENDED walk (same recurrence as viterbi615_sse2.cpp:82-88) with
+// the u16 indexing the update actually wrote.
+extern "C" int ref_decode_v615_fixed(const int *poly,
+                                     const unsigned char *syms,
+                                     int ndata_bits, unsigned int endstate,
+                                     unsigned char *out) {
+    const int K = 15, R = 6;
+    const int total_bits = ndata_bits + K - 1;
+    struct v615 *vp = create_viterbi615_sse2(poly, total_bits + 8);
+    if (!vp) return -1;
+    init_viterbi615_sse2(vp, 0);
+    unsigned char *buf = new unsigned char[(size_t)total_bits * R];
+    std::memcpy(buf, syms, (size_t)total_bits * R);
+    update_viterbi615_blk_sse2(vp, buf, total_bits);
+    const v615_mirror *m = reinterpret_cast<const v615_mirror *>(vp);
+    const size_t stride = 512 * sizeof(unsigned long);  // sizeof(decision_t)
+    const unsigned char *base =
+        static_cast<const unsigned char *>(m->decisions);
+    unsigned es = endstate & 16383u;
+    int nb = ndata_bits;
+    while (nb-- != 0) {
+        const unsigned short *s = reinterpret_cast<const unsigned short *>(
+            base + (size_t)(nb + 14) * stride);
+        const int k = (s[es >> 4] >> (es & 15)) & 1;
+        es = (unsigned)(k << 13) | (es >> 1);
+        out[nb >> 3] = (unsigned char)(es >> 6);
+    }
+    delete_viterbi615_sse2(vp);
+    delete[] buf;
+    return 0;
+}
+
+DEFINE_ORACLE(ref_decode_v27, viterbi27_sse2, v27, 7, 2,
+              update_viterbi27_blk_sse2)
+DEFINE_ORACLE(ref_decode_v29, viterbi29_sse2, v29, 9, 2,
+              update_viterbi29_blk_sse2)
+DEFINE_ORACLE(ref_decode_v615, viterbi615_sse2, v615, 15, 6,
+              update_viterbi615_blk_sse2)
+DEFINE_ORACLE(ref_decode_v224, viterbi224_sse2, v224, 24, 2,
+              update_viterbi224_blk_sse2)
+DEFINE_ORACLE(ref_decode_spiral27, spiral27, spiral27, 7, 2,
+              update_spiral27)
+DEFINE_ORACLE(ref_decode_spiral615, spiral615, spiral615, 15, 6,
+              update_spiral615)

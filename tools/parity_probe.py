@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Measured decision agreement vs the REFERENCE binaries (PARITY.md data).
+
+For each shared family and a sweep of AWGN operating points, decodes the
+same u8 offset-binary symbol streams through (a) the reference's compiled
+decoders (tools/ref_oracle.py shim) and (b) this framework's int32-exact
+path, and measures:
+
+* each stack's BER vs the transmitted data;
+* the fraction of decoded bits where the two stacks AGREE (where ka9q's
+  u8 avg/shift metric compression or SPIRAL's u8-saturating arithmetic
+  may legitimately diverge from int32-exact arithmetic near ties).
+
+Writes data/parity_agreement.json and prints the PARITY.md table.
+
+Run: python tools/parity_probe.py [frames_per_point]
+"""
+
+import json
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # scalar frames; CPU is fine
+import jax.numpy as jnp
+
+from ka9q_viterbi_comparison_tpu.configs import (
+    VITERBI27, VITERBI29, VITERBI615, VITERBI224, ka9q_offset_binary_spec)
+from ka9q_viterbi_comparison_tpu.models.functional import decode_symbols
+from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
+
+import ref_oracle
+
+N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+# family -> (code, frame bytes, endstate fn)
+CASES = {
+    "v27": (VITERBI27, 32, None),
+    "v29": (VITERBI29, 32, None),
+    "v615_fixed": (VITERBI615, 8, None),
+    "spiral27": (VITERBI27, 32, None),
+    "spiral615": (VITERBI615, 8, None),
+    "v224": (VITERBI224, 8, ref_oracle.v224_true_endstate),
+}
+
+NUMERIC = ka9q_offset_binary_spec()
+A = 127.5  # bipolar amplitude of the {0,255} rails
+
+
+def ebn0_db(sigma: float, R: int) -> float:
+    # Eb = R * A^2 (R rail symbols per trellis bit), N0 = 2 sigma^2.
+    if sigma == 0.0:
+        return float("inf")
+    return 10 * np.log10(R * A * A / (2 * sigma * sigma))
+
+
+def run_case(family, code, nbytes, es_fn, sigma, rng):
+    data = rng.integers(0, 256, size=(N_FRAMES, nbytes), dtype=np.uint8)
+    clean = np.asarray(
+        encode_frames(code, NUMERIC, jnp.asarray(data))).astype(np.float64)
+    noisy = clean + rng.normal(0.0, sigma, size=clean.shape)
+    noisy = np.clip(np.rint(noisy), 0, 255).astype(np.uint8)
+
+    ours = np.asarray(decode_symbols(
+        code, NUMERIC, jnp.asarray(noisy.astype(np.int32)), nbytes * 8))
+
+    ref = np.zeros_like(data)
+    for i in range(N_FRAMES):
+        es = es_fn(data[i]) if es_fn else 0
+        ref[i], _ = ref_oracle.decode(
+            family, code.polys, noisy[i], nbytes * 8, es)
+
+    bits = nbytes * 8 * N_FRAMES
+    pop = np.unpackbits
+    ber_ref = np.count_nonzero(pop(ref ^ data)) / bits
+    ber_ours = np.count_nonzero(pop(ours ^ data)) / bits
+    agree = 1.0 - np.count_nonzero(pop(ours ^ ref)) / bits
+    ident = float(np.mean(np.all(ours == ref, axis=1)))
+    e = ebn0_db(sigma, code.R)
+    return dict(sigma=sigma, ebn0_db=None if np.isinf(e) else round(e, 2),
+                ber_ref=ber_ref, ber_ours=ber_ours,
+                bit_agreement=agree, frames_identical=ident)
+
+
+def main():
+    rng = np.random.default_rng(20260820)
+    out = {"n_frames": N_FRAMES, "families": {}}
+    for family, (code, nbytes, es_fn) in CASES.items():
+        rows = []
+        for sigma in (0.0, 32.0, 64.0, 96.0, 128.0):
+            r = run_case(family, code, nbytes, es_fn, sigma, rng)
+            rows.append(r)
+            print(f"{family:12s} sigma={sigma:5.1f} Eb/N0={r['ebn0_db']:6.2f} dB "
+                  f"BER ref={r['ber_ref']:.4f} ours={r['ber_ours']:.4f} "
+                  f"agree={r['bit_agreement']:.5f} ident={r['frames_identical']:.3f}",
+                  flush=True)
+        out["families"][family] = rows
+    path = pathlib.Path(__file__).resolve().parent.parent / "data" / "parity_agreement.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
