@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Probe: portable-jnp K=15 chainback formulations at bench shapes.
+
+The published tpu_jnp K=15 chainback (ops/chainback.py lax.scan +
+take_along_axis) re-reads the whole [B, W] word row every step -- ~1 GB
+per walk at the bench's B=256, T=2062, an HBM floor of ~48 Mbit/s vs the
+reference's 93 M spiral column.  Candidates that touch only the needed
+words:
+
+  a) baseline: the current scan walk (measured reference point);
+  b) plane walk over radix f4/f8 tables (ops/radix_planes jnp build),
+     scan over rounds, per-frame scalar dynamic_slice fetches in-body
+     (B fetches per round; pipelining across frames is the question);
+  c) b's fetch loop at width 8 (half the rounds).
+
+Prints walk time and implied Mbit/s; table build (repack) timed
+separately -- it rides the update phase like the K=24 route.
+
+Run: python tools/k15_jnp_cb_probe.py [B] [T] [reps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from ka9q_viterbi_comparison_tpu.configs import VITERBI615
+from ka9q_viterbi_comparison_tpu.ops import chainback as cb, radix_planes as rp
+
+code = VITERBI615
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+T = int(sys.argv[2]) if len(sys.argv) > 2 else 2062
+REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+N = code.K - 1
+W = code.num_states // 32
+ANCHOR = code.K - 1
+ndata = T - ANCHOR
+
+print(f"platform={jax.devices()[0].platform} B={B} T={T} W={W}", flush=True)
+rng = np.random.default_rng(0)
+words_bm = jnp.asarray(rng.integers(0, 2**32, size=(B, T, W), dtype=np.uint32))
+words_tm = jnp.transpose(words_bm, (1, 0, 2))
+
+
+def timeit(name, fn, *args, bits=None):
+    f = jax.jit(fn) if not hasattr(fn, "lower") else fn
+    out = jax.block_until_ready(f(*args))
+    best = min(
+        (lambda t0: (jax.block_until_ready(f(*args)),
+                     time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(REPS))
+    extra = f" -> {bits / best / 1e6:8.2f} Mbit/s" if bits else ""
+    print(f"{name:24s} {best*1e3:9.3f} ms{extra}", flush=True)
+    return out
+
+
+nbits_total = B * ndata
+
+# a) baseline
+timeit("scan+take (current)",
+       lambda w: cb.chainback_bits.__wrapped__(code, w, ndata)[0],
+       words_bm, bits=nbits_total)
+
+# table builds (ride update)
+t4 = timeit("build f4 (v<=2 combines)",
+            lambda w: rp.build_plane_tables.__wrapped__(code, w, ANCHOR, None, 4)["f4"],
+            words_tm)
+tabs8 = None
+
+
+def build8(w):
+    t = rp.build_plane_tables.__wrapped__(code, w, ANCHOR, None, 8)
+    return t["f4"], t["f8"], t["g2"]
+
+
+r8 = timeit("build f4+f8 (v=4 combine)", build8, words_tm)
+
+
+def walk(tables, width):
+    """Scan over rounds; B scalar fetches per round."""
+    tab = tables
+    nseg = (T - ANCHOR) // width
+    mask = jnp.int32(code.num_states - 1)
+
+    def body(state, p):
+        ks = []
+        for b in range(B):
+            s = state[b]
+            idx = (s >> 5).astype(jnp.int32)
+            if width == 8:
+                word = jax.lax.dynamic_slice(
+                    tab, (p, (s >> 2) & 7, b, idx), (1, 1, 1, 1)).reshape(())
+                F = ((word >> ((s & 3) * 8).astype(jnp.uint32))
+                     & jnp.uint32(0xFF)).astype(jnp.int32)
+            else:
+                word = jax.lax.dynamic_slice(
+                    tab, (p, s & 3, b, idx), (1, 1, 1, 1)).reshape(())
+                F = ((word >> (((s >> 2) & 7) * 4).astype(jnp.uint32))
+                     & jnp.uint32(0xF)).astype(jnp.int32)
+            ks.append(F)
+        F = jnp.stack(ks)
+        return (state >> width) | (F << (N - width)), F
+
+    end, Fs = jax.lax.scan(body, jnp.zeros((B,), jnp.int32),
+                           jnp.arange(nseg - 1, -1, -1, dtype=jnp.int32))
+    return Fs
+
+
+f4 = t4
+timeit("plane walk w=4", lambda t: walk(t, 4), f4, bits=nbits_total)
+f8 = r8[1]
+timeit("plane walk w=8", lambda t: walk(t, 8), f8, bits=nbits_total)
