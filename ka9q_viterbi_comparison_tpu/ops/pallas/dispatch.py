@@ -88,7 +88,7 @@ def fits_inplace_vmem(code: CodeSpec, batch_padded: int) -> bool:
     # B=512 and K=15 at B=256 are exactness-verified on chip.
     if S * batch_padded > 16384 * 256:
         return False
-    return need * 1.3 <= kernels.VMEM_CAP
+    return need * 1.3 <= kernels.vmem_cap()
 
 
 def supports_chainback(code: CodeSpec) -> bool:
@@ -109,7 +109,7 @@ def fits_vmem(code: CodeSpec, batch_padded: int) -> bool:
         + 3 * S * batch_padded * 4
         + 2 * TB * W * batch_padded * 4
     )
-    return need * 2.5 <= kernels.VMEM_CAP
+    return need * 2.5 <= kernels.vmem_cap()
 
 
 def _large_update(code, numeric, metrics, symbols, interp, time_major=False):
@@ -402,11 +402,29 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
             return (use_planes and lk4_ok and flags.k24_fields()
                     and T > anchor and (T - anchor) % 4 == 0)
 
+        def _anchor8(T: int) -> int:
+            # largest walk anchor <= K-1 with (T - anchor) % 8 == 0
+            a = code.K - 1
+            return a - ((a - T % 8) % 8)
+
+        def _use_fields8(T: int) -> bool:
+            a8 = _anchor8(T)  # a8 == T (mod 8) by construction
+            return (use_planes and lk4_ok and flags.k24_fields()
+                    and flags.k24_walk() == 8 and 0 <= a8 < T)
+
         def init_fn(batch):
             return acs.init_metrics(code, numeric, batch)
 
         def update_fn(metrics, symbols):
-            if use_planes and _use_fields(symbols.shape[1]):
+            T = symbols.shape[1]
+            if use_planes and _use_fields8(T):
+                from . import large_k4
+
+                a8 = _anchor8(T)
+                m, f8, off = large_k4.acs_update_large4_fields8(
+                    code, numeric, metrics, symbols, a8 % 8, interp_lg)
+                return m, {"f8": f8[(a8 - a8 % 8) // 8 :]}, off
+            if use_planes and _use_fields(T):
                 from . import large_k4
 
                 m, f4, off = large_k4.acs_update_large4_fields(
@@ -431,9 +449,13 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
         def _cb_impl(words, endstate):
             if use_planes:
                 if isinstance(words, dict):  # kernel-emitted fields route
+                    # the f8 route anchors at the largest 8-aligned point
+                    # (a frame decode's T is num_data_bits + K - 1)
+                    cb_anchor = (_anchor8(num_data_bits + code.K - 1)
+                                 if "f8" in words else anchor)
                     return rp.chainback_planes(code, None, words,
                                                num_data_bits, endstate,
-                                               anchor)
+                                               cb_anchor)
                 w_tm, tabs = words
                 return rp.chainback_planes(code, w_tm, tabs, num_data_bits,
                                            endstate, anchor)

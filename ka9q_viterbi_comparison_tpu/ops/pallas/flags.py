@@ -18,8 +18,9 @@ from __future__ import annotations
 import os
 
 __all__ = ["KNOBS", "inplace_mode", "inplace_unroll", "inplace_mxu",
-           "inplace_pack_mxu", "inplace_chunk", "lk_depth", "lk2_tables",
-           "lk2_residue", "k24_fields"]
+           "inplace_pack_mxu", "inplace_chunk", "inplace_word_pack",
+           "lk_depth", "lk2_tables", "lk2_residue", "k24_fields",
+           "k24_walk"]
 
 # name -> (default, meaning).  Keep in sync with README.md's knob table.
 KNOBS: dict[str, tuple[str, str]] = {
@@ -82,6 +83,14 @@ KNOBS: dict[str, tuple[str, str]] = {
         "(R <= 2 only). Measured time-identical to the in-kernel parity "
         "fold at K=24 (tools/k24_sweep.py); kept default-on. 0: fold path.",
     ),
+    "KA9Q_TPU_INPLACE_WORD_PACK": (
+        "0",
+        "In the in-place kernel's strided phases with 2^j >= 32, pack each "
+        "butterfly half's decisions separately and interleave at WORD "
+        "granularity (32x smaller shuffle than restacking element rows). "
+        "A/B lever for the K=15 residual costs (VERDICT r4 item 3); "
+        "default follows the measured outcome in tools/k15_chunk_sweep.py.",
+    ),
     "KA9Q_TPU_K24_FIELDS": (
         "1",
         "Emit the width-4 walk-field table directly from the depth-4 "
@@ -91,6 +100,16 @@ KNOBS: dict[str, tuple[str, str]] = {
         "radix-repack surcharge from the K=24 update phase; requires the "
         "depth-4 route (R <= 2) and a window span T - (K-1) divisible by "
         "4 (every reference frame). 0: words + XLA repack route.",
+    ),
+    "KA9Q_TPU_K24_WALK": (
+        "8",
+        "Walk width of the kernel-emitted K=24 field tables: 8 pairs the "
+        "depth-4 quads (first quad emits f4, second consumes it and emits "
+        "byte-packed F_8) so the traceback retires EIGHT steps per "
+        "dependent fetch; 4 emits f4 every quad (shorter kernel, 2x the "
+        "walk rounds). Default from the measured A/B in "
+        "tools/k24_fields_probe.py. Only meaningful with "
+        "KA9Q_TPU_K24_FIELDS=1.",
     ),
     "KA9Q_TPU_LK2_RESIDUE": (
         "0",
@@ -143,3 +162,11 @@ def lk2_residue() -> bool:
 
 def k24_fields() -> bool:
     return _get("KA9Q_TPU_K24_FIELDS") != "0"
+
+
+def inplace_word_pack() -> bool:
+    return _get("KA9Q_TPU_INPLACE_WORD_PACK") == "1"
+
+
+def k24_walk() -> int:
+    return 4 if _get("KA9Q_TPU_K24_WALK") == "4" else 8

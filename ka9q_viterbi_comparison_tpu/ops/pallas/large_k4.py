@@ -71,7 +71,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ...configs import CodeSpec, NumericSpec
 from . import large_k, large_k2
 
-__all__ = ["acs_update_large4", "acs_update_large4_fields"]
+__all__ = ["acs_update_large4", "acs_update_large4_fields",
+           "acs_update_large4_fields8"]
 
 PACK = 32
 
@@ -105,12 +106,22 @@ def _par_tables4_np(code: CodeSpec):
 
 
 def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt,
-                 want_fields: bool = False):
+                 want_fields: bool = False, want_f8: bool = False):
     """Lb: predecessor columns per input range block (= blk / (16*32)).
 
     ``want_fields``: emit the nibble-packed width-4 walk field table
     instead of the four per-step decision-word tensors (see module
-    docstring); output refs become ``(m_out, f4)``."""
+    docstring); output refs become ``(m_out, f4)``.
+
+    ``want_f8`` (implies fields mode): additionally consume the PREVIOUS
+    quad's f4 table (16 plane-range inputs after the parity tables) and
+    emit the byte-packed width-8 field ``F_8 = F_4^{prev}[origin] << 4 |
+    F_4^{this}`` instead of f4.  The previous-window field rides the SAME
+    per-level survivor select as the path bits -- the combined value
+    ``comb = (select(d, comb_hi, comb_lo) << 1) | d``, seeded at level 1
+    with the unpacked predecessor fields shifted left, accumulates both
+    halves with zero extra selects; output refs become ``(m_out, f8
+    [B, 2, 4, 16, Lb])`` (par = g&1, h = k4>>2, q4 = g>>1)."""
     K, R = code.K, code.R
     low = numeric.soft_low
     high = numeric.soft_high
@@ -131,11 +142,30 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt,
         t1s = refs[25:33]                # 8 x [32, Lb]   (b1*4 + m2)
         t2s = refs[33:35]                # 2 x [4, 32, Lb] (m3)
         t3_ref = refs[35]                # [8, 32, Lb]
-        if want_fields:
+        if want_f8:
+            f4ps = refs[36:52]           # 16 x [B, 4, Lb] prev f4 planes
+            m_out_ref, f8_ref = refs[52:54]
+        elif want_fields:
             m_out_ref, f4_ref = refs[36:38]
         else:
             m_out_ref, w1_ref, w2_ref, w3_ref, w4_ref = refs[36:41]
         B = ins[0].shape[0]
+
+        if want_f8:
+            # Unpack the previous window's field per predecessor range:
+            # state s = 32c + g holds its nibble at plane d = g&3, nibble
+            # g>>2 of word c (the f4 output layout in natural word order).
+            # Sublane row g = 4q + d assembles as a (q, d) interleave --
+            # the supported sublane direction -- instead of a 4-way
+            # where-chain (the where form cost ~13 ops/range and showed up
+            # as the f8 kernel's ~10 % update deficit vs f4).
+            nib4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8, 1), 2) * 4
+            Vs = []
+            for k in range(16):
+                P = f4ps[k][:]
+                x = jnp.broadcast_to(P[:, :, None, :], (B, 4, 8, Lb))
+                x = jax.lax.shift_right_logical(x, nib4) & 0xF
+                Vs.append(x.transpose(0, 2, 1, 3).reshape(B, PACK, Lb))
 
         # Per-step symbol affine pieces (compute int32; storage mdt).
         bases = []
@@ -200,7 +230,7 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt,
             pen = table_pens(0, t0s[m][:])
             for b1 in (0, 1):
                 cand1[(m, b1)], d1[(m, b1)] = acs(lo, hi, pen, b1)
-        if not want_fields:
+        if not (want_fields or want_f8):
             # step-t words: i1 = 64c + 2g + b1 -> word col 2c + (g>=16),
             # bit 2*(g&15) + b1.  w1_ref row 2m + par.
             for m in range(8):
@@ -208,6 +238,16 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt,
                     acc = (d1[(m, 0)][:, sl] * w_shift(16, 2, 0)
                            + d1[(m, 1)][:, sl] * w_shift(16, 2, 1))
                     w1_ref[:, 2 * m + par] = acc.sum(axis=1)
+
+        # Path-field seed: the level-1 decision alone (f4 mode), or the
+        # previous window's field select riding the same decision (f8).
+        pf1 = {}
+        if want_fields or want_f8:
+            for (m, b1), d in d1.items():
+                if want_f8:
+                    pf1[(m, b1)] = pf_step(d, Vs[m + 8], Vs[m])
+                else:
+                    pf1[(m, b1)] = d.astype(jnp.int32)
 
         # ---- level 2 (step t+1): 4 groups x k2 ----
         cand2 = {}
@@ -220,12 +260,10 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt,
                     k2 = 2 * b1 + b2
                     cand2[(m2, k2)], d2[(m2, k2)] = acs(
                         cand1[(m2, b1)], cand1[(m2 + 4, b1)], pen, b2)
-                    if want_fields:
+                    if want_fields or want_f8:
                         pf2[(m2, k2)] = pf_step(
-                            d2[(m2, k2)],
-                            d1[(m2 + 4, b1)].astype(jnp.int32),
-                            d1[(m2, b1)].astype(jnp.int32))
-        if not want_fields:
+                            d2[(m2, k2)], pf1[(m2 + 4, b1)], pf1[(m2, b1)])
+        if not (want_fields or want_f8):
             # step-t+1 words: i2 -> word col 4c + (g>>3), bit 4*(g&7) + k2.
             for m2 in range(4):
                 for q in range(4):
@@ -247,10 +285,10 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt,
                     k3 = 2 * k2 + b3
                     cand3[(m3, k3)], d3[(m3, k3)] = acs(
                         cand2[(m3, k2)], cand2[(m3 + 2, k2)], pen, b3)
-                    if want_fields:
+                    if want_fields or want_f8:
                         pf3[(m3, k3)] = pf_step(
                             d3[(m3, k3)], pf2[(m3 + 2, k2)], pf2[(m3, k2)])
-        if not want_fields:
+        if not (want_fields or want_f8):
             # step-t+2 words: i3 -> word col 8c + (g>>2), bit 8*(g&3) + k3.
             for m3 in range(2):
                 for q3 in range(8):
@@ -271,7 +309,7 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt,
                 k4 = 2 * k3 + b4
                 cand4[k4], d4[k4] = acs(
                     cand3[(0, k3)], cand3[(1, k3)], pen, b4)
-                if want_fields:
+                if want_fields or want_f8:
                     pf4[k4] = pf_step(d4[k4], pf3[(1, k3)], pf3[(0, k3)])
         # step-t+3 words + final metrics: f -> word col 16c + (g>>1),
         # bit 16*(g&1) + k4; metric rows 16*(g&1) + k4 of residue q4 = g>>1.
@@ -285,7 +323,17 @@ def _quad_kernel(code: CodeSpec, numeric: NumericSpec, Lb: int, NB: int, mdt,
 
         for q4 in range(16):
             rows = slice(2 * q4, 2 * q4 + 2)
-            if want_fields:
+            if want_f8:
+                # F_8 byte of state f at byte e = k4&3 of word (d8 =
+                # 4*(g&1) + (k4>>2), 16c + q4); both row parities pack in
+                # one pass (par = row index within the 2-row slice).
+                for h in range(4):
+                    acc = None
+                    for e in range(4):
+                        piece = pf4[4 * h + e][:, rows] * (1 << (8 * e))
+                        acc = piece if acc is None else acc + piece
+                    f8_ref[:, :, h, q4] = acc
+            elif want_fields:
                 for dd in range(4):
                     acc = None
                     for h in range(4):
@@ -615,3 +663,183 @@ def acs_update_large4_fields(
     m_final = m3.astype(jnp.int32).transpose(0, 2, 1).reshape(B, S)
     f4 = jax.lax.bitcast_convert_type(f4_tm, jnp.uint32)
     return m_final, f4, entry_shift
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
+def acs_update_large4_fields8(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    metrics: jnp.ndarray,
+    symbols: jnp.ndarray,
+    lead: int = 0,
+    interpret: bool = False,
+    metric_dtype: str | None = None,
+):
+    """Depth-4 update over quad PAIRS emitting the width-8 walk table.
+
+    Per pair: the first quad runs the f4-fields kernel (its nibble-packed
+    table is the pair's only handoff), the second quad runs the f8 kernel,
+    which seeds its field propagation with the first quad's fields at the
+    predecessor ranges and byte-packs ``F_8`` directly -- one dependent
+    fetch per EIGHT trellis steps for the walk, still no decision words
+    and no XLA repack.  ``T - lead`` must be a multiple of 8 (every
+    reference frame at ``lead = (K-1) % 8``: ``T - (K-1) = 8*bytes``).
+
+    Returns ``(metrics [B, S] int32, f8 [T8, 8, B, W] uint32, offset [B]
+    int32)`` with window p of ``f8`` covering steps ``[lead + 8p,
+    lead + 8p + 8)`` in the ``ops.radix_planes`` f8 layout (state ``s`` in
+    byte ``s&3`` of word ``(d8 = (s>>2)&7, s>>5)``).
+    """
+    if code.R > 2:
+        raise ValueError("depth-4 kernel streams parity tables (R <= 2)")
+    B, S = metrics.shape
+    _, T, R = symbols.shape
+    if (T - lead) % 8:
+        raise ValueError(f"T - lead must be a multiple of 8, got {T - lead}")
+    entry_shift = jnp.zeros((B,), dtype=jnp.int32)
+    if lead:
+        metrics, _, entry_shift = large_k2.acs_update_large2.__wrapped__(
+            code, numeric, metrics, symbols[:, :lead], interpret,
+            metric_dtype, False, True)
+    metrics, shift0 = large_k._shift_to_zero(metrics)
+    entry_shift = entry_shift + shift0
+    blk = large_k.pick_state_block(code)
+    NB = S // blk
+    C = S // PACK
+    Lb = blk // (16 * PACK)
+    assert NB * Lb * 16 == C
+
+    T8 = (T - lead) // 8
+    if metric_dtype is None:
+        metric_dtype = numeric.metric_dtype
+    if metric_dtype != "auto":
+        mdt = jnp.dtype(metric_dtype).type
+    else:
+        mdt = large_k.metric_dtype_for(code, numeric, T)
+    rn = 0  # renormalisation cadence in PAIRS (8 steps each)
+    mbe = numeric.max_branch_error(R)
+    spread = numeric.initial_margin + (code.K - 1) * mbe
+    if spread + (T + 8) * mbe >= 30000:
+        rn_fit = (29000 - spread) // max(1, 8 * mbe)
+        if mdt == jnp.int16:
+            if rn_fit < 1:
+                raise ValueError(
+                    f"int16 metrics cannot hold the {numeric.name} spread "
+                    f"{spread} even with per-pair renormalisation")
+            rn = max(1, int(rn_fit))
+        elif metric_dtype == "auto" and rn_fit >= 2:
+            mdt = jnp.int16
+            rn = int(rn_fit)
+
+    kernel_a = _quad_kernel(code, numeric, Lb, NB, mdt, want_fields=True)
+    kernel_b = _quad_kernel(code, numeric, Lb, NB, mdt, want_f8=True)
+    in_spec = lambda k: pl.BlockSpec(
+        (B, PACK, Lb), lambda j, k=k: (0, 0, j + k * NB),
+        memory_space=pltpu.VMEM)
+    plane_spec = lambda k: pl.BlockSpec(
+        (B, 4, Lb), lambda j, k=k: (0, 0, j + k * NB),
+        memory_space=pltpu.VMEM)
+    sym_spec = pl.BlockSpec((B, 4 * R), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    tspec = lambda off: pl.BlockSpec(
+        (PACK, Lb), lambda j, off=off: (0, j + off), memory_space=pltpu.VMEM)
+    t2spec = lambda off: pl.BlockSpec(
+        (4, PACK, Lb), lambda j, off=off: (0, 0, j + off),
+        memory_space=pltpu.VMEM)
+    t3spec = pl.BlockSpec((8, PACK, Lb), lambda j: (0, 0, j),
+                          memory_space=pltpu.VMEM)
+
+    t0_np, t1_np = large_k2._par_tables_np(code)
+    t2_np, t3_np = _par_tables4_np(code)
+    t0 = jnp.asarray(t0_np)
+    t1a, t1b = jnp.asarray(t1_np[0]), jnp.asarray(t1_np[1])
+    t2 = jnp.asarray(t2_np)
+    t3 = jnp.asarray(t3_np)
+
+    base_specs = [in_spec(k) for k in range(16)]
+    base_specs.append(sym_spec)
+    base_specs += [tspec(m * NB) for m in range(8)]
+    base_specs += [tspec(m2 * NB) for m2 in range(4)]
+    base_specs += [tspec(m2 * NB) for m2 in range(4)]
+    base_specs += [t2spec(0), t2spec(NB)]
+    base_specs.append(t3spec)
+
+    C16 = C // 16
+    m_shape = jax.ShapeDtypeStruct((B, 16, PACK, C16), mdt)
+    m_spec = pl.BlockSpec((B, 16, PACK, Lb), lambda j: (0, 0, 0, j),
+                          memory_space=pltpu.VMEM)
+    f4_shape = jax.ShapeDtypeStruct((B, 4, 16, C16), jnp.int32)
+    f4_spec = pl.BlockSpec((B, 4, 16, Lb), lambda j: (0, 0, 0, j),
+                           memory_space=pltpu.VMEM)
+    f8_shape = jax.ShapeDtypeStruct((B, 2, 4, 16, C16), jnp.int32)
+    f8_spec = pl.BlockSpec((B, 2, 4, 16, Lb), lambda j: (0, 0, 0, 0, j),
+                           memory_space=pltpu.VMEM)
+
+    call_a = pl.pallas_call(
+        kernel_a,
+        grid=(NB,),
+        in_specs=base_specs,
+        out_specs=[m_spec, f4_spec],
+        out_shape=[m_shape, f4_shape],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+    call_b = pl.pallas_call(
+        kernel_b,
+        grid=(NB,),
+        in_specs=base_specs + [plane_spec(k) for k in range(16)],
+        out_specs=[m_spec, f8_spec],
+        out_shape=[m_shape, f8_shape],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    m3 = metrics.reshape(B, C, PACK).transpose(0, 2, 1).astype(mdt)
+
+    if T8:
+        sym_pairs = (symbols[:, lead : lead + 8 * T8]
+                     .reshape(B, T8, 8 * R).transpose(1, 0, 2))
+
+        def pair_body(carry, xs):
+            m3, off = carry
+            i, sym_pair = xs
+            m_out, f4b = call_a(
+                *(m3,) * 16, sym_pair[:, : 4 * R], *(t0,) * 8,
+                t1a, t1a, t1a, t1a, t1b, t1b, t1b, t1b, t2, t2, t3)
+            m_mid = m_out.transpose(0, 2, 3, 1).reshape(B, PACK, C)
+            f4n = f4b.transpose(0, 1, 3, 2).reshape(B, 4, C)
+            m_out2, f8b = call_b(
+                *(m_mid,) * 16, sym_pair[:, 4 * R :], *(t0,) * 8,
+                t1a, t1a, t1a, t1a, t1b, t1b, t1b, t1b, t2, t2, t3,
+                *(f4n,) * 16)
+            m_next = m_out2.transpose(0, 2, 3, 1).reshape(B, PACK, C)
+            if rn:
+                def renorm(m, o):
+                    mn = m.min(axis=(1, 2))
+                    return m - mn[:, None, None], o + mn.astype(jnp.int32)
+
+                m_next, off = jax.lax.cond(
+                    (i % rn) == rn - 1, renorm, lambda m, o: (m, o),
+                    m_next, off)
+            # [B, 2(par), 4(h), 16(q4), C16] -> d8 = 4*par + h, natural
+            # word col = 16c + q4 -> [8, B, C]
+            f8n = (f8b.reshape(B, 8, 16, C16).transpose(0, 1, 3, 2)
+                   .reshape(B, 8, C).transpose(1, 0, 2))
+            return (m_next, off), f8n
+
+        off0 = jnp.zeros((B,), dtype=jnp.int32)
+        xs = (jnp.arange(T8, dtype=jnp.int32), sym_pairs)
+        (m3, scan_off), f8_tm = jax.lax.scan(pair_body, (m3, off0), xs)
+        entry_shift = entry_shift + scan_off
+    else:
+        f8_tm = jnp.zeros((0, 8, B, C), jnp.int32)
+
+    m_final = m3.astype(jnp.int32).transpose(0, 2, 1).reshape(B, S)
+    f8 = jax.lax.bitcast_convert_type(f8_tm, jnp.uint32)
+    return m_final, f8, entry_shift

@@ -61,6 +61,14 @@ bit-serial walk at viterbi224_sse2.cpp:93-105.
 
 Requires ``K - 1 >= 9`` (every combine reads whole-word source runs,
 ``W >= 2^v``); smaller trellises use the Pallas traceback kernels instead.
+
+Round 5: the routed K=24 path no longer builds these tables in XLA at all
+-- the depth-4 update kernel propagates the survivor-path fields in-kernel
+and emits the nibble-packed ``f4`` (or byte-packed ``f8``) table directly
+(``ops.pallas.large_k4``; ``KA9Q_TPU_K24_FIELDS`` / ``KA9Q_TPU_K24_WALK``).
+This builder remains the portable construction (any decision words, any
+anchor) and the oracle the kernel emission is tested against
+(bit-identical tables, ``tests/test_radix_planes.py``).
 """
 
 from __future__ import annotations
@@ -315,12 +323,16 @@ def chainback_plane_bits(
 
     Returns ``(bits [B, num_data_bits] uint8, state_at_anchor [B] int32)``.
     """
-    f4 = tables["f4"]
+    f4 = tables.get("f4")
     f8 = tables.get("f8")
     g2 = tables.get("g2")
     if words is None:
-        n4, _, B, W = f4.shape
-        T = anchor + 4 * n4
+        if f8 is not None:
+            n8, _, B, W = f8.shape
+            T = anchor + 8 * n8
+        else:
+            n4, _, B, W = f4.shape
+            T = anchor + 4 * n4
     else:
         T, B, W = words.shape
     n = code.K - 1
@@ -331,10 +343,11 @@ def chainback_plane_bits(
         jnp.asarray(endstate, dtype=jnp.int32) & mask, (B,)))
 
     segs = plane_plan(T, anchor, 8 if f8 is not None else 4)
-    if words is None and any(w < 4 for _, w in segs):
+    min_w = 8 if (words is None and f4 is None) else 4
+    if words is None and any(w < min_w for _, w in segs):
         raise ValueError(
-            "f4-only walk needs T - anchor to be a multiple of 4 "
-            f"(got T={T}, anchor={anchor})")
+            "table-only walk needs T - anchor to be a multiple of the walk "
+            f"width (got T={T}, anchor={anchor})")
     pieces: dict[int, tuple] = {}
     for t0, width in segs:
         a0 = t0 - anchor

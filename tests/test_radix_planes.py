@@ -169,6 +169,42 @@ def test_kernel_emitted_fields_match_jnp_builder(code, rng):
     assert count_bit_errors(np.asarray(bits_to_bytes(bits)), data) == 0
 
 
+@pytest.mark.parametrize("code", [K10, K11], ids=["k10", "k11"])
+def test_kernel_emitted_f8_matches_jnp_builder(code, rng):
+    """The paired-quad f8 kernel (second quad seeds its survivor-path
+    field propagation with the first quad's f4 table) must produce the
+    EXACT byte-packed f8 table the jnp builder derives from decision
+    words, and the f8-only walk must decode exactly (the routed K=24
+    path at KA9Q_TPU_K24_WALK=8)."""
+    from ka9q_viterbi_comparison_tpu.ops.pallas import large_k4
+    from ka9q_viterbi_comparison_tpu.utils.bits import bits_to_bytes
+
+    numeric = soft8_spec(code.R)
+    B, nbytes = 2, 6
+    data = rng.integers(0, 256, size=(B, nbytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+    T = syms.shape[1]
+    a = code.K - 1
+    a8 = a - ((a - T % 8) % 8)   # dispatch._anchor8
+    lead = a8 % 8
+
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, w_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+    tabs_ref = rp.build_plane_tables(
+        code, jnp.transpose(w_ref, (1, 0, 2)), a8, None, 8)
+
+    m_f, f8, _ = large_k4.acs_update_large4_fields8(
+        code, numeric, m0, syms, lead, True)
+    np.testing.assert_array_equal(np.asarray(m_f), np.asarray(m_ref))
+    skip = (a8 - lead) // 8
+    np.testing.assert_array_equal(
+        np.asarray(f8[skip:]), np.asarray(tabs_ref["f8"]))
+
+    bits, _ = rp.chainback_plane_bits(
+        code, None, {"f8": f8[skip:]}, nbytes * 8, 0, a8)
+    assert count_bit_errors(np.asarray(bits_to_bytes(bits)), data) == 0
+
+
 def test_plane_tables_reject_small_trellis():
     small = CodeSpec("k9", K=9, R=2, polys=(0x1AF, 0x11D))
     words = jnp.zeros((16, 1, 8), jnp.uint32)

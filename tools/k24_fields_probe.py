@@ -82,10 +82,14 @@ def measure(label):
           f"{nbit/cb_s/1e6:7.3f} Mbit/s")
 
 
+# fresh static config per variant so the flags re-read: phase_fns closures
+# re-trace per call; the flags are read at trace time inside update_fn's
+# first call, but jit caches key on function identity -- phase_fns returns
+# new closures.
 os.environ["KA9Q_TPU_K24_FIELDS"] = "1"
-measure("fields")
+os.environ["KA9Q_TPU_K24_WALK"] = "8"
+measure("fields8")
+os.environ["KA9Q_TPU_K24_WALK"] = "4"
+measure("fields4")
 os.environ["KA9Q_TPU_K24_FIELDS"] = "0"
-# fresh static config so the flag re-reads: phase_fns closures re-trace per
-# call; the flag is read at trace time inside update_fn's first call, but
-# jit caches key on function identity -- phase_fns returns new closures.
-measure("words ")
+measure("words  ")
