@@ -62,12 +62,14 @@ __all__ = [
     "ICI_EGRESS_BYTES_PER_S",
 ]
 
-# Stated hardware assumptions (one TPU v5e-class chip).  HBM from the
-# datasheet figure used throughout ARCHITECTURE.md's roofline table; ICI =
-# 4 links x 45 GB/s per direction (2-D torus), the public scaling-book
-# numbers for this generation.
-HBM_BYTES_PER_S = 819e9
-ICI_EGRESS_BYTES_PER_S = 180e9
+# Stated hardware assumptions: device-derived from the attached chip
+# (utils/chipinfo.py), falling back to the TPU v5e datasheet figures used
+# throughout ARCHITECTURE.md's roofline table (HBM 819 GB/s; ICI = 4 links
+# x 45 GB/s per direction, 2-D torus) when run off-TPU.
+from ..utils.chipinfo import chip_info as _chip_info
+
+HBM_BYTES_PER_S = _chip_info().hbm_bytes_per_s
+ICI_EGRESS_BYTES_PER_S = _chip_info().ici_egress_bytes_per_s
 
 _COLLECTIVES = {
     "ppermute", "psum", "psum2", "psum_invariant", "pmin", "pmax",

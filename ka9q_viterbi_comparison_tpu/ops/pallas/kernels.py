@@ -45,9 +45,17 @@ __all__ = ["acs_update_tb", "chainback_tb", "pick_time_block", "SUBLANE_PACK"]
 
 SUBLANE_PACK = 32  # decision bits per packed word
 
-# Usable VMEM on the target chip (v5e: 128 MiB physical; leave headroom for
-# the compiler's own scoped allocations).
+# Usable VMEM on the target chip: device-derived (utils/chipinfo.py), with
+# the v5e figure (128 MiB physical minus compiler headroom) as the off-TPU
+# fallback.  Kept as a module constant name for the v5e value; routing
+# predicates call ``vmem_cap()`` so other generations get their own budget.
 VMEM_CAP = 110 * 1024 * 1024
+
+
+def vmem_cap() -> int:
+    from ...utils.chipinfo import chip_info
+
+    return chip_info().vmem_usable
 
 
 def _vmem_limit(*buffer_bytes: int) -> int:
@@ -56,7 +64,7 @@ def _vmem_limit(*buffer_bytes: int) -> int:
     slack -- Mosaic's stack of live step temporaries (penalties, candidates,
     relayouts) can more than double the explicit footprint for large S."""
     need = int(sum(buffer_bytes) * 2.5)
-    return min(max(need, 16 * 1024 * 1024), VMEM_CAP)
+    return min(max(need, 16 * 1024 * 1024), vmem_cap())
 
 
 def _pack_weights(B: int) -> jnp.ndarray:

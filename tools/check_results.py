@@ -47,7 +47,15 @@ import os
 import sys
 
 FLOOR_NS = 1_000
-HBM_BYTES_PER_S = 819e9
+# HBM roofline: device-derived when a TPU is attached, else the v5e figure
+# the published matrix was measured on (utils/chipinfo.py).
+try:
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+    from ka9q_viterbi_comparison_tpu.utils.chipinfo import chip_info
+
+    HBM_BYTES_PER_S = chip_info().hbm_bytes_per_s
+except Exception:  # gate must stay runnable standalone
+    HBM_BYTES_PER_S = 819e9
 MAX_REL_STD = 0.15
 
 # ---------------------------------------------------------------------------
