@@ -12,6 +12,14 @@ convergence property the time-block parallel decoder uses).
 State is a pytree of device arrays, so ``checkpoint()`` / ``restore()`` are
 trivially serialisable (e.g. with orbax) and a restored decoder continues
 bit-identically -- the multi-host failure-recovery story for long streams.
+
+On TPU the per-push symbol update runs through the Pallas dispatch
+(``backend="auto"``), including the in-place rotating-address kernel with
+its position-packed decision words (rotation phases stay globally
+consistent across pushes via the blockwise ``t0``); the release walk is
+the jnp scan, bounded to the retained window (``traceback_depth`` + the
+emitted span), which for K<=9 (one decision word) is a few vector ops per
+step.  Measured streaming throughput: ``tools/streaming_probe.py``.
 """
 
 from __future__ import annotations
@@ -43,10 +51,26 @@ class StreamingDecoder:
     numeric: NumericSpec
     batch: int
     traceback_depth: int = 0  # 0 -> default 8*K
+    backend: str = "auto"     # "auto" -> pallas dispatch on TPU, else jnp
 
     def __post_init__(self) -> None:
         if self.traceback_depth <= 0:
             self.traceback_depth = 8 * self.code.K
+        if self.backend not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        self._dispatch = None
+        self._rotated = False
+        if self.backend != "jnp":
+            from ..ops.pallas import dispatch as pallas_dispatch
+
+            if self.backend == "pallas" or pallas_dispatch.on_tpu():
+                # Blockwise kernel updates (t0 keeps the in-place kernel's
+                # rotation phases and decision positions globally
+                # consistent across pushes -- VERDICT r4 item 5; ref
+                # blockwise contract: viterbi27_sse2.cpp:119).
+                self._dispatch = pallas_dispatch
+                self._rotated = pallas_dispatch.use_inplace(
+                    self.code, pallas_dispatch._pad_batch(self.batch))
         self.reset()
 
     def reset(self, starting_state: int = 0) -> None:
@@ -80,9 +104,14 @@ class StreamingDecoder:
         if symbols.ndim == 2:
             symbols = symbols.reshape(self.batch, -1, self.code.R)
         symbols = symbols.astype(jnp.int32)
-        self.metrics, words, _ = acs.acs_update(
-            self.code, self.numeric, self.metrics, symbols, True
-        )
+        if self._dispatch is not None:
+            self.metrics, words, _ = self._dispatch.acs_update(
+                self.code, self.numeric, self.metrics, symbols,
+                t0=self.abs_step)
+        else:
+            self.metrics, words, _ = acs.acs_update(
+                self.code, self.numeric, self.metrics, symbols, True
+            )
         self.history = jnp.concatenate([self.history, words], axis=1)
         self.abs_step += symbols.shape[1]
         return self._release(self._emittable(), endstate=None)
@@ -103,7 +132,8 @@ class StreamingDecoder:
         else:
             end = jnp.full((B,), endstate & (self.code.num_states - 1), jnp.int32)
         hist = self.history
-        raw = _raw_walk(self.code, hist, end)  # [B, len]
+        raw = _raw_walk(self.code, hist, end, self._rotated,
+                        self.steps_emitted)  # [B, len]
         out = raw[:, :n_steps]
 
         # Drop released steps from history, but always keep the most recent
@@ -118,19 +148,37 @@ class StreamingDecoder:
         return out[:, skip:]
 
 
-def _raw_walk(code: CodeSpec, words: jnp.ndarray, end: jnp.ndarray) -> jnp.ndarray:
+def _raw_walk(code: CodeSpec, words: jnp.ndarray, end: jnp.ndarray,
+              rotated: bool = False, t_offset: int = 0) -> jnp.ndarray:
     """Reverse decision walk over ``[B, n, W]`` from ``end``; returns the
-    full output sequence ``[B, n]`` uint8 (no slicing)."""
+    full output sequence ``[B, n]`` uint8 (no slicing).
 
-    def body(state, words_t):
-        idx = state >> 5
+    ``rotated``: the words are position-packed by the in-place kernel
+    route (decision of state ``s`` at absolute step ``t`` at bit position
+    ``rotr(s, (t+1) mod (K-1))`` -- ops/chainback.py contract);
+    ``t_offset`` is the absolute trellis step of ``words[:, 0]``.
+    """
+    nrot = code.K - 1
+    mask = jnp.int32(code.num_states - 1)
+
+    def body(state, xs):
+        t, words_t = xs
+        if rotated:
+            rho = (t + 1) % nrot
+            pos = ((state >> rho) | (state << (nrot - rho))) & mask
+        else:
+            pos = state
+        idx = pos >> 5
         W = words_t.shape[-1]
         if W == 1:
             word = words_t[..., 0]
         else:
             word = jnp.take_along_axis(words_t, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
-        k = (word >> (state & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
+        k = (word >> (pos & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
         return (state >> 1) | (k << (code.K - 2)), k.astype(jnp.uint8)
 
-    _, ks = jax.lax.scan(body, end, words.transpose(1, 0, 2), reverse=True)
+    n = words.shape[1]
+    ts = jnp.arange(t_offset, t_offset + n, dtype=jnp.int32)
+    _, ks = jax.lax.scan(body, end, (ts, words.transpose(1, 0, 2)),
+                         reverse=True)
     return ks.transpose(1, 0)

@@ -61,3 +61,34 @@ def test_checkpoint_resume_bit_exact(rng):
     bits = jnp.concatenate([bits_a, bits_b, bits_c], axis=1)
     out = bits_to_bytes(bits[:, : n_bytes * 8])
     assert count_bit_errors(np.asarray(out), data) == 0
+
+
+def test_streaming_pallas_backend_matches_jnp(rng, monkeypatch):
+    """The dispatch-routed streaming update (VERDICT r4 item 5) must be
+    bit-identical to the jnp route, including through the in-place
+    kernel's position-packed decision words (rotation phases tracked
+    across pushes via t0)."""
+    code, numeric = VITERBI27, soft8_spec(2)
+    n_bytes = 128
+    data = rng.integers(0, 256, size=(2, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data))
+
+    ref_bits = _stream_decode(
+        StreamingDecoder(code, numeric, batch=2, backend="jnp"),
+        syms, chunk_syms=64 * code.R)
+
+    # plain pallas route (interp mode on CPU)
+    bits_pl = _stream_decode(
+        StreamingDecoder(code, numeric, batch=2, backend="pallas"),
+        syms, chunk_syms=64 * code.R)
+    np.testing.assert_array_equal(np.asarray(bits_pl), np.asarray(ref_bits))
+
+    # forced in-place route: rotated decision packing across push blocks
+    monkeypatch.setenv("KA9Q_TPU_INPLACE", "1")
+    dec = StreamingDecoder(code, numeric, batch=2, backend="pallas")
+    assert dec._rotated
+    bits_ip = _stream_decode(dec, syms, chunk_syms=64 * code.R)
+    np.testing.assert_array_equal(np.asarray(bits_ip), np.asarray(ref_bits))
+
+    out = bits_to_bytes(bits_ip[:, : n_bytes * 8])
+    assert count_bit_errors(np.asarray(out), data) == 0
