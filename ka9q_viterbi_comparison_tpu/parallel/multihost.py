@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..configs import CodeSpec, NumericSpec
 from .frame import frame_sharded_decode
+from .statewise import state_sharded_decode
 from .timeblock import time_block_decode_bits
 
 __all__ = [
@@ -44,6 +45,7 @@ __all__ = [
     "global_frame_batch",
     "decode_local_frames",
     "decode_local_time_blocks",
+    "decode_state_sharded",
     "local_shard",
 ]
 
@@ -110,6 +112,37 @@ def decode_local_frames(
     syms = global_frame_batch(np.asarray(local_symbols), mesh, axis)
     out = frame_sharded_decode(code, numeric, syms, num_data_bits, mesh, axis)
     return local_shard(out)
+
+
+def decode_state_sharded(
+    code: CodeSpec,
+    numeric: NumericSpec,
+    symbols: np.ndarray,
+    num_data_bits: int,
+    mesh: Mesh | None = None,
+    state_axis: str = "state",
+) -> np.ndarray:
+    """State-sharded decode with the trellis STATE axis spanning processes.
+
+    Each process's devices own contiguous blocks of the 2^(K-1) state
+    vector, so the butterfly's half-shard ``ppermute``s and the traceback's
+    per-step owner ``psum`` (``parallel.statewise``) cross the host
+    boundary on every trellis step -- the K=24 "metric vector too big for
+    one host" configuration of SURVEY §2.3.  ``symbols`` ``[B, T, R]`` are
+    replicated (every process passes the same array).  Returns decoded
+    bytes ``[B, num_data_bits // 8]`` on every process.
+    """
+    mesh = mesh or Mesh(np.asarray(jax.devices()), (state_axis,))
+    local = np.asarray(symbols)
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        syms = jax.device_put(local, sharding)
+    else:
+        syms = jax.make_array_from_process_local_data(
+            sharding, local, local.shape)
+    out = state_sharded_decode(code, numeric, syms, num_data_bits, mesh,
+                               state_axis)
+    return np.asarray(jax.device_get(out))
 
 
 def cross_process_time_mesh(frame_axis: str = "frame",

@@ -84,8 +84,23 @@ def main() -> None:
     got = bits_local
     assert got.shape == exp_slice.shape, (got.shape, exp_slice.shape)
     assert (got == exp_slice).all(), "time-sharded bits mismatch"
-    print(f"MULTIHOST_OK process={proc_id} devices={len(jax.devices())} sp=ok",
-          flush=True)
+
+    # Phase 3 (VERDICT r4 item 9): the STATE axis across the process
+    # boundary -- the real K=24 trellis sharded over all 4 global devices,
+    # butterfly half-shard ppermutes + traceback psums riding gloo.
+    from ka9q_viterbi_comparison_tpu import VITERBI224
+
+    code24 = VITERBI224
+    n24 = 8  # the reference's K=24 frame size (src/main.cpp:413)
+    data24 = rng.integers(0, 256, size=(1, n24), dtype=np.uint8)
+    syms24 = np.asarray(encode_frames(code24, numeric, data24)).reshape(
+        1, -1, code24.R)
+    out24 = multihost.decode_state_sharded(code24, numeric, syms24, n24 * 8)
+    errs24 = count_bit_errors(out24, data24)
+    assert errs24 == 0, f"process {proc_id}: state-sharded K=24 {errs24} errors"
+
+    print(f"MULTIHOST_OK process={proc_id} devices={len(jax.devices())} "
+          f"sp=ok state=ok", flush=True)
 
 
 if __name__ == "__main__":
