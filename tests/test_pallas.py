@@ -168,3 +168,29 @@ def test_inplace_admission_respects_validated_envelope():
     assert dispatch.fits_inplace_vmem(VITERBI27, 512)
     assert dispatch.fits_inplace_vmem(VITERBI615, 256)
     assert not dispatch.fits_inplace_vmem(VITERBI615, 512)
+
+
+def test_inplace_word_pack_lever_exact(rng, monkeypatch):
+    """The word-granularity decision interleave (KA9Q_TPU_INPLACE_WORD_PACK,
+    the 2^j >= 32 strided-phase A/B lever) must be bit-identical to the
+    element-restack pack on the K=15 trellis (the only config with such
+    phases)."""
+    from ka9q_viterbi_comparison_tpu.ops import chainback as cb
+
+    monkeypatch.setenv("KA9Q_TPU_INPLACE", "1")
+    code, numeric = VITERBI615, soft8_spec(6)
+    # distinct (B, T) from every other K=15 inplace test: flags are read at
+    # trace time, so the lever needs a fresh static configuration
+    B, n_bytes = 5, 6
+    data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+    m0 = acs.init_metrics(code, numeric, B)
+    m_ref, words_ref, _ = acs.acs_update(code, numeric, m0, syms, False)
+
+    monkeypatch.setenv("KA9Q_TPU_INPLACE_WORD_PACK", "1")
+    # fresh static shape so the flag is re-read at trace time
+    m_pl, words_pl, _ = dispatch.acs_update(code, numeric, m0, syms, t0=0)
+    np.testing.assert_array_equal(np.asarray(m_pl), np.asarray(m_ref))
+    out_ref = cb.chainback(code, words_ref, n_bytes * 8)
+    out_pl = dispatch.chainback(code, words_pl, n_bytes * 8)
+    np.testing.assert_array_equal(np.asarray(out_pl), np.asarray(out_ref))

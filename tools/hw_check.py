@@ -79,6 +79,46 @@ def check_code(code, rng) -> dict:
     }
 
 
+def check_inplace_envelope(rng) -> dict:
+    """On-chip canary for the in-place kernel's validated-size envelope
+    (VERDICT r4 item 8).  K=15 at B=512 fits the VMEM budget but MIS-LOWERS
+    on the round-4 Mosaic toolchain (silently wrong metrics), so
+    ``dispatch.fits_inplace_vmem`` caps the metric tile at the largest
+    validated size (16384*256 lanes).  This canary keeps that boundary
+    honest against toolchain updates:
+
+    * the validated boundary shape (K=15, B=256) must route in-place and
+      decode exactly;
+    * the capped shape (B=512) is decoded at full size through whatever
+      route the dispatcher picks: if a toolchain/config change ever admits
+      it to the in-place route, silent mis-lowering becomes a loud
+      exactness failure here instead.
+    """
+    from ka9q_viterbi_comparison_tpu.configs import VITERBI615
+    from ka9q_viterbi_comparison_tpu.ops.pallas import dispatch
+
+    code = VITERBI615
+    numeric = soft8_spec(code.R)
+    n_bytes = BENCH_FRAME_BYTES[code.name]
+    rows = {}
+    for B in (256, 512):
+        data = rng.integers(0, 256, size=(B, n_bytes), dtype=np.uint8)
+        clean = encode_frames(code, numeric, jnp.asarray(data))
+        out = np.asarray(decode_frames(code, numeric, clean, n_bytes * 8,
+                                       backend="pallas"))
+        rows[f"b{B}"] = {
+            "routed_inplace": bool(dispatch.use_inplace(code, B)),
+            "bit_errors": int(count_bit_errors(out, data)),
+        }
+    rows["ok"] = (rows["b256"]["routed_inplace"]
+                  and rows["b256"]["bit_errors"] == 0
+                  and rows["b512"]["bit_errors"] == 0)
+    # The capped shape is EXPECTED rejected on the validated toolchain;
+    # record (not assert) so an envelope shift is visible in the artifact.
+    rows["b512_expected_rejected"] = True
+    return rows
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("-o", "--output", default="data/tpu_hw_check.json")
@@ -96,12 +136,20 @@ def main() -> None:
               f"agree={row['awgn_backend_bit_agreement']})", flush=True)
         rows.append(row)
 
+    envelope = check_inplace_envelope(rng)
+    print(f"inplace envelope: ok={envelope['ok']} "
+          f"(b256 inplace={envelope['b256']['routed_inplace']} "
+          f"errs={envelope['b256']['bit_errors']}; "
+          f"b512 inplace={envelope['b512']['routed_inplace']} "
+          f"errs={envelope['b512']['bit_errors']})", flush=True)
+
     result = {
         "platform": dev.platform,
         "device_kind": dev.device_kind,
         "seed": args.seed,
-        "all_ok": all(r["ok"] for r in rows),
+        "all_ok": all(r["ok"] for r in rows) and envelope["ok"],
         "configs": rows,
+        "inplace_envelope": envelope,
     }
     with open(args.output, "w") as f:
         json.dump(result, f, indent=1)

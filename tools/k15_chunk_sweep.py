@@ -77,11 +77,14 @@ def main():
 
     LOG(f"platform={jax.devices()[0].platform} B={B} T={T} Tp={Tp}")
 
+    wps = [int(x) for x in os.environ.get("SWEEP_WORD_PACK", "0").split(",")]
     cases = []
     for mxu in (1, 0):
         for ch in [int(c) for c in args.chunks.split(",")]:
+          for wp in wps:
             os.environ["KA9Q_TPU_INPLACE_MXU"] = str(mxu)
             os.environ["KA9Q_TPU_INPLACE_CHUNK"] = str(ch)
+            os.environ["KA9Q_TPU_INPLACE_WORD_PACK"] = str(wp)
 
             def chain(n, _t=T):
                 @jax.jit
@@ -94,7 +97,7 @@ def main():
 
                 return run
 
-            label = f"mxu={mxu} chunk={ch}"
+            label = f"mxu={mxu} chunk={ch} wp={wp}"
             try:
                 c1, cN = chain(1), chain(args.chain)
                 m_out, _ = c1(m0, sym_native)

@@ -118,3 +118,31 @@ f4 = t4
 timeit("plane walk w=4", lambda t: walk(t, 4), f4, bits=nbits_total)
 f8 = r8[1]
 timeit("plane walk w=8", lambda t: walk(t, 8), f8, bits=nbits_total)
+
+
+def walk_gather(tab, width):
+    """One take_along_axis per round over [B, planes*W] merged rows."""
+    nseg = (T - ANCHOR) // width
+    np_, d_, B_, W_ = tab.shape
+    tabm = tab.transpose(0, 2, 1, 3).reshape(np_, B_, d_ * W_)
+
+    def body(state, tab_p):
+        s = state
+        if width == 8:
+            idx = ((s >> 2) & 7) * W_ + (s >> 5)
+            sh = ((s & 3) * 8).astype(jnp.uint32)
+            fmask = jnp.uint32(0xFF)
+        else:
+            idx = (s & 3) * W_ + (s >> 5)
+            sh = (((s >> 2) & 7) * 4).astype(jnp.uint32)
+            fmask = jnp.uint32(0xF)
+        words = jnp.take_along_axis(tab_p, idx[:, None], axis=-1)[:, 0]
+        F = ((words >> sh) & fmask).astype(jnp.int32)
+        return (s >> width) | (F << (N - width)), F
+
+    end, Fs = jax.lax.scan(body, jnp.zeros((B,), jnp.int32), tabm[::-1])
+    return Fs
+
+
+timeit("gather walk w=4", lambda t: walk_gather(t, 4), f4, bits=nbits_total)
+timeit("gather walk w=8", lambda t: walk_gather(t, 8), f8, bits=nbits_total)
