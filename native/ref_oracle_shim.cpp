@@ -24,6 +24,9 @@
 #include "ka9q_libfec_port/viterbi615_sse2.h"
 #include "ka9q_libfec_port/viterbi224_sse2.h"
 #include "spiral/spiral27.h"
+#include "spiral/spiral29.h"
+#include "spiral/spiral47.h"
+#include "spiral/spiral49.h"
 #include "spiral/spiral615.h"
 
 // One lifecycle per family.  `ndata_bits` = payload bits; the symbol
@@ -115,5 +118,11 @@ DEFINE_ORACLE(ref_decode_v224, viterbi224_sse2, v224, 24, 2,
               update_viterbi224_blk_sse2)
 DEFINE_ORACLE(ref_decode_spiral27, spiral27, spiral27, 7, 2,
               update_spiral27)
+DEFINE_ORACLE(ref_decode_spiral29, spiral29, spiral29, 9, 2,
+              update_spiral29)
+DEFINE_ORACLE(ref_decode_spiral47, spiral47, spiral47, 7, 4,
+              update_spiral47)
+DEFINE_ORACLE(ref_decode_spiral49, spiral49, spiral49, 9, 4,
+              update_spiral49)
 DEFINE_ORACLE(ref_decode_spiral615, spiral615, spiral615, 15, 6,
               update_spiral615)

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from ka9q_viterbi_comparison_tpu.configs import (
     VITERBI27,
     VITERBI29,
+    VITERBI47,
+    VITERBI49,
     VITERBI615,
     VITERBI224,
     ka9q_offset_binary_spec,
@@ -54,6 +56,9 @@ CASES = [
     ("v29", VITERBI29, 32),
     ("v615_fixed", VITERBI615, 8),
     ("spiral27", VITERBI27, 32),
+    ("spiral29", VITERBI29, 32),
+    ("spiral47", VITERBI47, 32),
+    ("spiral49", VITERBI49, 32),
     ("spiral615", VITERBI615, 8),
 ]
 

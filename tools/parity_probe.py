@@ -32,7 +32,8 @@ jax.config.update("jax_platforms", "cpu")  # scalar frames; CPU is fine
 import jax.numpy as jnp
 
 from ka9q_viterbi_comparison_tpu.configs import (
-    VITERBI27, VITERBI29, VITERBI615, VITERBI224, ka9q_offset_binary_spec)
+    VITERBI27, VITERBI29, VITERBI47, VITERBI49, VITERBI615, VITERBI224,
+    ka9q_offset_binary_spec)
 from ka9q_viterbi_comparison_tpu.models.functional import decode_symbols
 from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
 
@@ -47,6 +48,9 @@ CASES = {
     "v29": (VITERBI29, 32, None, 1),
     "v615_fixed": (VITERBI615, 8, None, 1),
     "spiral27": (VITERBI27, 32, None, 1),
+    "spiral29": (VITERBI29, 32, None, 1),
+    "spiral47": (VITERBI47, 32, None, 1),
+    "spiral49": (VITERBI49, 32, None, 1),
     "spiral615": (VITERBI615, 8, None, 1),
     "v224": (VITERBI224, 8, ref_oracle.v224_true_endstate, 8),
 }

@@ -40,6 +40,9 @@ FAMILIES = {
     "v224": ("ref_decode_v224", 24, 2,
              ["ka9q_libfec_port/viterbi224_sse2.cpp"]),
     "spiral27": ("ref_decode_spiral27", 7, 2, ["spiral/spiral27.cpp"]),
+    "spiral29": ("ref_decode_spiral29", 9, 2, ["spiral/spiral29.cpp"]),
+    "spiral47": ("ref_decode_spiral47", 7, 4, ["spiral/spiral47.cpp"]),
+    "spiral49": ("ref_decode_spiral49", 9, 4, ["spiral/spiral49.cpp"]),
     "spiral615": ("ref_decode_spiral615", 15, 6, ["spiral/spiral615.cpp"]),
 }
 
