@@ -60,4 +60,8 @@ def test_measured_waterfalls_coding_gain_ordering():
     worse(v27, v29)    # K=9 r=1/2 at least as good as K=7 r=1/2
     worse(v27, v47)    # r=1/4 at least as good as r=1/2 at K=7
     worse(v29, v49)    # r=1/4 at least as good as r=1/2 at K=9
-    worse(v27, v615)   # Cassini beats the weakest code
+    # The Cassini code's waterfall sits ~2 dB left of the others (its
+    # points stop at 1.5 dB): even at 0.5 dB LESS Eb/N0 it must beat the
+    # weakest code's best resolved sub-threshold point.
+    assert max(v615) < min(e for e in v27 if e >= 2.0)
+    assert v615[max(v615)] <= v27[2.0]
