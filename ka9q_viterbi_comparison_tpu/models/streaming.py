@@ -13,13 +13,19 @@ State is a pytree of device arrays, so ``checkpoint()`` / ``restore()`` are
 trivially serialisable (e.g. with orbax) and a restored decoder continues
 bit-identically -- the multi-host failure-recovery story for long streams.
 
-On TPU the per-push symbol update runs through the Pallas dispatch
-(``backend="auto"``), including the in-place rotating-address kernel with
-its position-packed decision words (rotation phases stay globally
-consistent across pushes via the blockwise ``t0``); the release walk is
-the jnp scan, bounded to the retained window (``traceback_depth`` + the
-emitted span), which for K<=9 (one decision word) is a few vector ops per
-step.  Measured streaming throughput: ``tools/streaming_probe.py``.
+On TPU (``backend="auto"``) each push runs as ONE jitted program per
+static shape signature: the Pallas dispatch update (including the
+in-place rotating-address kernel, its rotation phases kept globally
+consistent across pushes via the blockwise ``t0``), the history append,
+and the release walk through the Pallas traceback kernel over the
+retained window (``chainback_inplace`` gained a window-phase ``t0`` for
+mid-stream starts).  Measured on v5e at K=7 B=512, 2046-step pushes
+(``tools/streaming_probe.py``): 8.7 Gsym/s device-side steady state —
+1.4x the batch-mode published update rate (the batch bench pays
+per-iteration framing the stream amortises; the isolated in-place kernel
+measures 9.2 G) — and ~1 Gsym/s driven interactively through this dev
+rig's ~15 ms per-dispatch tunnel RTT.  Push sizes that are multiples of
+K-1 reuse a single compiled steady-state program.
 """
 
 from __future__ import annotations
@@ -71,6 +77,7 @@ class StreamingDecoder:
                 self._dispatch = pallas_dispatch
                 self._rotated = pallas_dispatch.use_inplace(
                     self.code, pallas_dispatch._pad_batch(self.batch))
+        self._push_cache: dict = {}
         self.reset()
 
     def reset(self, starting_state: int = 0) -> None:
@@ -100,21 +107,76 @@ class StreamingDecoder:
         return max(0, (self.abs_step - self.traceback_depth) - self.steps_emitted)
 
     def push(self, symbols: jnp.ndarray) -> jnp.ndarray:
-        """Consume symbols, return newly released data bits ``[B, m]``."""
+        """Consume symbols, return newly released data bits ``[B, m]``.
+
+        The whole push -- kernel update, history append, bounded release
+        walk, window trim -- runs as ONE jitted program per static shape
+        signature (push size, retained length, emit count, rotation
+        phases): a steady stream reuses a single compiled program per
+        push, so per-push cost is one dispatch, not thousands of eager
+        ops (measured 40x on the tunneled dev rig)."""
         if symbols.ndim == 2:
             symbols = symbols.reshape(self.batch, -1, self.code.R)
         symbols = symbols.astype(jnp.int32)
-        if self._dispatch is not None:
-            self.metrics, words, _ = self._dispatch.acs_update(
-                self.code, self.numeric, self.metrics, symbols,
-                t0=self.abs_step)
-        else:
-            self.metrics, words, _ = acs.acs_update(
-                self.code, self.numeric, self.metrics, symbols, True
-            )
-        self.history = jnp.concatenate([self.history, words], axis=1)
-        self.abs_step += symbols.shape[1]
-        return self._release(self._emittable(), endstate=None)
+        n = symbols.shape[1]
+        h = self.history.shape[1]
+        nrot = self.code.K - 1
+        emit = max(0, (self.abs_step + n - self.traceback_depth)
+                   - self.steps_emitted)
+        skip = 0
+        if emit:
+            skip = min(emit, max(0, (self.code.K - 1) - self.steps_emitted))
+        key = (n, h, emit, self.abs_step % nrot,
+               self.steps_emitted % nrot, skip)
+        fn = self._push_cache.get(key)
+        if fn is None:
+            fn = self._push_cache[key] = self._build_push(*key)
+        self.metrics, self.history, out = fn(
+            self.metrics, self.history, symbols)
+        self.abs_step += n
+        self.steps_emitted += emit
+        return out
+
+    def _build_push(self, n, h, emit, phase, t_off, skip):
+        code, numeric = self.code, self.numeric
+        disp, rotated = self._dispatch, self._rotated
+
+        @jax.jit
+        def f(metrics, history, symbols):
+            if disp is not None:
+                # only t0 mod (K-1) affects rotation phases / packing
+                m, words, _ = disp.acs_update(
+                    code, numeric, metrics, symbols, t0=phase)
+            else:
+                m, words, _ = acs.acs_update(
+                    code, numeric, metrics, symbols, True)
+            hist = jnp.concatenate([history, words], axis=1)
+            if emit <= 0:
+                return m, hist, jnp.zeros((metrics.shape[0], 0), jnp.uint8)
+            end = jnp.argmin(m, axis=-1).astype(jnp.int32)
+            if rotated and disp is not None:
+                # Pallas traceback over the position-packed window: the
+                # jnp scan walk costs ~6 vector-op dispatches per trellis
+                # step (~13 ms per steady push at K=7 B=512); the kernel
+                # walks the whole window VMEM-resident.  t0 aligns the
+                # kernel's rotation phases with the window start.
+                from ..ops.pallas import inplace
+
+                B = metrics.shape[0]
+                Bp = disp._pad_batch(B)
+                Tw = hist.shape[1]
+                Tp = -(-Tw // inplace.CB_TB) * inplace.CB_TB
+                w = jnp.pad(hist, ((0, Bp - B), (0, Tp - Tw), (0, 0)))
+                end_p = jnp.pad(end, (0, Bp - B))[None, :]
+                bits_words = inplace.chainback_inplace(
+                    code, w.transpose(1, 2, 0), end_p, Tw,
+                    not disp.on_tpu(), t_off)
+                raw = disp.unpack_bit_words(bits_words, Tw)[:B]
+            else:
+                raw = _raw_walk(code, hist, end, rotated, t_off)
+            return m, hist[:, emit:], raw[:, skip:emit]
+
+        return f
 
     def flush(self, endstate: int | None = 0) -> jnp.ndarray:
         """Release every remaining step (stream over; default: trellis was
@@ -149,7 +211,8 @@ class StreamingDecoder:
 
 
 def _raw_walk(code: CodeSpec, words: jnp.ndarray, end: jnp.ndarray,
-              rotated: bool = False, t_offset: int = 0) -> jnp.ndarray:
+              rotated: bool = False, t_offset: int = 0,
+              unroll: int = 8) -> jnp.ndarray:
     """Reverse decision walk over ``[B, n, W]`` from ``end``; returns the
     full output sequence ``[B, n]`` uint8 (no slicing).
 
@@ -157,28 +220,48 @@ def _raw_walk(code: CodeSpec, words: jnp.ndarray, end: jnp.ndarray,
     route (decision of state ``s`` at absolute step ``t`` at bit position
     ``rotr(s, (t+1) mod (K-1))`` -- ops/chainback.py contract);
     ``t_offset`` is the absolute trellis step of ``words[:, 0]``.
+
+    ``unroll`` steps run inside each scan iteration: the body is a
+    handful of [B]-vector ops, so at unroll=1 the scan's per-iteration
+    overhead dominates (measured ~6.7 us/step on the dev rig = the whole
+    steady-state streaming cost).  Front-padding keeps any length: the
+    walk continues harmlessly past t=0 into the pad (those outputs are
+    sliced off; only the decoded bit stream is consumed by callers).
     """
     nrot = code.K - 1
     mask = jnp.int32(code.num_states - 1)
+    B, n, W = words.shape
 
-    def body(state, xs):
-        t, words_t = xs
+    def step(state, t, words_t):
         if rotated:
             rho = (t + 1) % nrot
             pos = ((state >> rho) | (state << (nrot - rho))) & mask
         else:
             pos = state
         idx = pos >> 5
-        W = words_t.shape[-1]
         if W == 1:
             word = words_t[..., 0]
         else:
-            word = jnp.take_along_axis(words_t, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
+            word = jnp.take_along_axis(
+                words_t, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
         k = (word >> (pos & 31).astype(jnp.uint32)).astype(jnp.int32) & 1
         return (state >> 1) | (k << (code.K - 2)), k.astype(jnp.uint8)
 
-    n = words.shape[1]
-    ts = jnp.arange(t_offset, t_offset + n, dtype=jnp.int32)
-    _, ks = jax.lax.scan(body, end, (ts, words.transpose(1, 0, 2)),
-                         reverse=True)
-    return ks.transpose(1, 0)
+    pad = (-n) % unroll
+    if pad:
+        words = jnp.concatenate(
+            [jnp.zeros((B, pad, W), words.dtype), words], axis=1)
+    nt = n + pad
+    wr = words.transpose(1, 0, 2).reshape(nt // unroll, unroll, B, W)
+    ts = jnp.arange(t_offset - pad, t_offset + n,
+                    dtype=jnp.int32).reshape(nt // unroll, unroll)
+
+    def body(state, xs):
+        tc, wc = xs
+        ks = [None] * unroll
+        for j in range(unroll - 1, -1, -1):
+            state, ks[j] = step(state, tc[j], wc[j])
+        return state, jnp.stack(ks)
+
+    _, ks = jax.lax.scan(body, end, (ts, wr), reverse=True)
+    return ks.reshape(nt, B).transpose(1, 0)[:, pad:]

@@ -559,7 +559,11 @@ def acs_update_inplace(
     return m_out, jax.lax.bitcast_convert_type(dec, jnp.uint32)
 
 
-def _chainback_inplace_kernel(code: CodeSpec, TB: int, n_last: int):
+def _chainback_inplace_kernel(code: CodeSpec, TB: int, n_last: int,
+                              p0: int = 0):
+    """``p0``: rotation phase of global step 0 of the walked window --
+    nonzero when the window starts mid-stream (StreamingDecoder's
+    retained history at ``steps_emitted % (K-1)``)."""
     S = code.num_states
     W = max(1, S // 32)
     K = code.K
@@ -586,7 +590,7 @@ def _chainback_inplace_kernel(code: CodeSpec, TB: int, n_last: int):
                 t = steps - 1 - jj
                 t_glob = t_base + t
                 state = state_scr[:]  # [1, B]
-                c = (t_glob + 1) % nrot  # traced scalar rotation amount
+                c = (t_glob + 1 + p0) % nrot  # traced scalar rotation
                 pos = (
                     jax.lax.shift_right_logical(state, c)
                     | jax.lax.shift_left(state, nrot - c)
@@ -622,19 +626,22 @@ def _chainback_inplace_kernel(code: CodeSpec, TB: int, n_last: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def chainback_inplace(
     code: CodeSpec,
     dec_words: jnp.ndarray,
     endstate: jnp.ndarray,
     t_real: int,
     interpret: bool = False,
+    t0: int = 0,
 ):
     """Traceback over position-packed decisions from ``acs_update_inplace``.
 
     Same contract as ``kernels.chainback_tb``; ``dec_words`` must cover the
     frame from trellis step 0 (the rotation phase is derived from the global
-    step index, so blockwise updates concatenate transparently)."""
+    step index, so blockwise updates concatenate transparently) -- or, for
+    a mid-stream window, pass ``t0`` = the absolute trellis step of
+    ``dec_words[0]`` (only ``t0 mod (K-1)`` matters)."""
     Tp, W, B = dec_words.shape
     TB = CB_TB
     if Tp % TB != 0:
@@ -645,7 +652,7 @@ def chainback_inplace(
     nb = -(-t_real // TB)
     n_last = t_real - (nb - 1) * TB
 
-    kernel = _chainback_inplace_kernel(code, TB, n_last)
+    kernel = _chainback_inplace_kernel(code, TB, n_last, int(t0) % (code.K - 1))
     bits = pl.pallas_call(
         kernel,
         grid=(nb,),

@@ -16,6 +16,19 @@ words:
 Prints walk time and implied Mbit/s; table build (repack) timed
 separately -- it rides the update phase like the K=24 route.
 
+MEASURED OUTCOME (v5e, B=256, T=2062, chained marginals with scalar-fetch
+sync): the baseline runs 11.5 ms = 45.6 Mbit/s -- within ~10 % of the
+~96 GB/s XLA elementwise ceiling for its 1 GB of re-read decision rows,
+i.e. the portable formulation is at ITS OWN HBM floor.  Every candidate
+loses or ties: per-frame scalar plane walks serialize 256 fetches x
+512/256 rounds (209/106 ms); merged-row take_along_axis gathers stream
+the same bytes per round (13.4/12.3 ms = 39/43 Mbit/s).  The jnp K=15
+chainback therefore REMAINS a documented losing cell vs the reference's
+93 M scalar walk (a CPU re-reads 8 bytes per step from L1; the portable
+XLA path re-reads the whole [B, W] row from HBM) -- closing it requires
+the Pallas route's VMEM residency, which is exactly what the tpu_pallas
+family publishes (357 Mbit/s).
+
 Run: python tools/k15_jnp_cb_probe.py [B] [T] [reps]
 """
 
@@ -51,15 +64,44 @@ words_tm = jnp.transpose(words_bm, (1, 0, 2))
 
 
 def timeit(name, fn, *args, bits=None):
-    f = jax.jit(fn) if not hasattr(fn, "lower") else fn
-    out = jax.block_until_ready(f(*args))
-    best = min(
-        (lambda t0: (jax.block_until_ready(f(*args)),
-                     time.perf_counter() - t0)[1])(time.perf_counter())
-        for _ in range(REPS))
+    """Chained marginal: k data-dependent executions inside one jit (the
+    dev rig memoizes identical dispatches, so independent same-input reps
+    time as one RTT -- the harness/bench.py lesson)."""
+    first = args[0]
+
+    def chain(k):
+        @jax.jit
+        def run(x, rest):
+            out = None
+            for _ in range(k):
+                out = fn(x, *rest) if rest else fn(x)
+                # fold a value derived from the output back into the input
+                leaf = jax.tree.leaves(out)[0]
+                x = x ^ jnp.broadcast_to(
+                    leaf.reshape(-1)[:1].astype(x.dtype), x.shape)
+            return out
+        return run
+
+    def fetch(out):
+        # block_until_ready can acknowledge before execution on this
+        # transport; a scalar host fetch cannot (harness/bench.py sync()).
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[-1:])
+
+    rest = args[1:]
+    c1, cN = chain(1), chain(4)
+    fetch(c1(first, rest))
+    fetch(cN(first, rest))
+    t1 = min((lambda t0: (fetch(c1(first, rest)),
+                          time.perf_counter() - t0)[1])(time.perf_counter())
+             for _ in range(REPS))
+    tn = min((lambda t0: (fetch(cN(first, rest)),
+                          time.perf_counter() - t0)[1])(time.perf_counter())
+             for _ in range(REPS))
+    best = max((tn - t1) / 3, 1e-9)
     extra = f" -> {bits / best / 1e6:8.2f} Mbit/s" if bits else ""
     print(f"{name:24s} {best*1e3:9.3f} ms{extra}", flush=True)
-    return out
+    return jax.block_until_ready(c1(first, rest))
 
 
 nbits_total = B * ndata
