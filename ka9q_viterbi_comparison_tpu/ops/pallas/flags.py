@@ -88,8 +88,10 @@ KNOBS: dict[str, tuple[str, str]] = {
         "In the in-place kernel's strided phases with 2^j >= 32, pack each "
         "butterfly half's decisions separately and interleave at WORD "
         "granularity (32x smaller shuffle than restacking element rows). "
-        "A/B lever for the K=15 residual costs (VERDICT r4 item 3); "
-        "default follows the measured outcome in tools/k15_chunk_sweep.py.",
+        "A/B lever for the K=15 residual costs (VERDICT r4 item 3): "
+        "MEASURED neutral-to-slight-loss on v5e (83.4 vs 85.0 Msym/s at "
+        "K=15 B=256, tools/k15_chunk_sweep.py SWEEP_WORD_PACK=0,1) -- the "
+        "element restack was not the binding cost. Default off.",
     ),
     "KA9Q_TPU_K24_FIELDS": (
         "1",
