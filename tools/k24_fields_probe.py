@@ -54,32 +54,29 @@ def measure(label):
     m, w, _ = jax.block_until_ready(up1(m0, syms_p))
     out = np.asarray(chainback_fn(w))
     err = count_bit_errors(out, data)
+    import numpy as _np
+
+    def _sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        _np.asarray(leaf.reshape(-1)[-1:])  # scalar fetch: honest timing
+
     chains = {k: mk_up(k) for k in (1, KCH)}
     for k, c in chains.items():
-        jax.block_until_ready(c(m0, syms_p))  # compile
+        _sync(c(m0, syms_p))  # compile
     times = {}
     for k, c in chains.items():
         best = min(
-            (lambda t0: (jax.block_until_ready(c(m0, syms_p)),
+            (lambda t0: (_sync(c(m0, syms_p)),
                          time.perf_counter() - t0)[1])(time.perf_counter())
             for _ in range(5))
         times[k] = best
     upd_s = (times[KCH] - times[1]) / (KCH - 1)
-    # walk marginal
-    cb_chains = {k: mk_cb(k) for k in (1, KCH)}
-    for k, c in cb_chains.items():
-        jax.block_until_ready(c(w))
-    cbt = {}
-    for k, c in cb_chains.items():
-        best = min(
-            (lambda t0: (jax.block_until_ready(c(w)),
-                         time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(5))
-        cbt[k] = best
-    cb_s = (cbt[KCH] - cbt[1]) / (KCH - 1)
+    # NOTE: the walk phase is sub-ms here and this probe's short chains
+    # cannot resolve it above the transport jitter (and block_until_ready
+    # acks early on this rig); the harness's adaptive long chains are the
+    # walk authority (harness/bench.py, published in RESULTS.md).
     print(f"{label}: err={err} update {upd_s*1e3:8.2f} ms -> "
-          f"{nsym/upd_s/1e3:7.2f} ksym/s | walk {cb_s*1e3:8.3f} ms -> "
-          f"{nbit/cb_s/1e6:7.3f} Mbit/s")
+          f"{nsym/upd_s/1e3:7.2f} ksym/s")
 
 
 # fresh static config per variant so the flags re-read: phase_fns closures

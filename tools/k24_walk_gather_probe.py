@@ -83,9 +83,15 @@ def walk_gather_loop(flat, state0):
 
 def bench(name, fn, *args):
     f = jax.jit(fn)
-    out = jax.block_until_ready(f(*args))
+
+    def sync(o):
+        # scalar host fetch: block_until_ready acks early on this rig
+        np.asarray(jax.tree.leaves(o)[0].reshape(-1)[-1:])
+        return o
+
+    out = sync(f(*args))
     best = min(
-        (lambda t0: (jax.block_until_ready(f(*args)),
+        (lambda t0: (sync(f(*args)),
                      time.perf_counter() - t0)[1])(time.perf_counter())
         for _ in range(REPS))
     print(f"{name:14s} {best*1e6:9.1f} us  ({best*1e6/ROUNDS:7.2f} us/round)")
