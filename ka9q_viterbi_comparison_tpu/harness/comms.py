@@ -65,11 +65,18 @@ __all__ = [
 # Stated hardware assumptions: device-derived from the attached chip
 # (utils/chipinfo.py), falling back to the TPU v5e datasheet figures used
 # throughout ARCHITECTURE.md's roofline table (HBM 819 GB/s; ICI = 4 links
-# x 45 GB/s per direction, 2-D torus) when run off-TPU.
-from ..utils.chipinfo import chip_info as _chip_info
+# x 45 GB/s per direction, 2-D torus) when run off-TPU.  Resolved lazily
+# (PEP 562) so importing this module never initializes the JAX backend as
+# a side effect -- chip detection touches jax.devices(), which must not
+# run before e.g. jax.distributed.initialize() in multi-process programs.
+def __getattr__(name: str):
+    if name in ("HBM_BYTES_PER_S", "ICI_EGRESS_BYTES_PER_S"):
+        from ..utils.chipinfo import chip_info
 
-HBM_BYTES_PER_S = _chip_info().hbm_bytes_per_s
-ICI_EGRESS_BYTES_PER_S = _chip_info().ici_egress_bytes_per_s
+        info = chip_info()
+        return (info.hbm_bytes_per_s if name == "HBM_BYTES_PER_S"
+                else info.ici_egress_bytes_per_s)
+    raise AttributeError(name)
 
 _COLLECTIVES = {
     "ppermute", "psum", "psum2", "psum_invariant", "pmin", "pmax",
@@ -176,8 +183,8 @@ def collective_trace(fn, *args, **kwargs) -> CommsReport:
 
 
 def statewise_model(code: CodeSpec, n_state: int, B: int, T: int,
-                    hbm: float = HBM_BYTES_PER_S,
-                    ici: float = ICI_EGRESS_BYTES_PER_S) -> dict:
+                    hbm: float | None = None,
+                    ici: float | None = None) -> dict:
     """State-sharded update (parallel/statewise.py).
 
     Per trellis step the butterfly exchange runs 4 half-shard ppermutes of
@@ -193,6 +200,8 @@ def statewise_model(code: CodeSpec, n_state: int, B: int, T: int,
     = 4*B*S/n at the slower ICI.  Perfect overlap gives
     ``eff = t_hbm / max(t_hbm, t_ici)``.
     """
+    hbm = hbm if hbm is not None else __getattr__("HBM_BYTES_PER_S")
+    ici = ici if ici is not None else __getattr__("ICI_EGRESS_BYTES_PER_S")
     S = code.num_states
     chunk = S // (2 * n_state)
     step_wire = 4 * (n_state // 2 if n_state > 1 else 0) * (4 * B * chunk)
@@ -215,8 +224,8 @@ def statewise_model(code: CodeSpec, n_state: int, B: int, T: int,
 
 def timeblock_model(code: CodeSpec, n_time: int, B: int, T: int,
                     overlap: int | None = None,
-                    hbm: float = HBM_BYTES_PER_S,
-                    ici: float = ICI_EGRESS_BYTES_PER_S) -> dict:
+                    hbm: float | None = None,
+                    ici: float | None = None) -> dict:
     """Time-block SP (parallel/timeblock.py): two one-shot symbol-halo
     ppermutes of ``[B, overlap, R]`` int32 per frame (not per step), plus
     ``overlap`` extra warm-up ACS steps per device.
@@ -228,6 +237,8 @@ def timeblock_model(code: CodeSpec, n_time: int, B: int, T: int,
     """
     from .. import parallel
 
+    hbm = hbm if hbm is not None else __getattr__("HBM_BYTES_PER_S")
+    ici = ici if ici is not None else __getattr__("ICI_EGRESS_BYTES_PER_S")
     if overlap is None:
         overlap = parallel.default_overlap(code)
     Tb = T // n_time

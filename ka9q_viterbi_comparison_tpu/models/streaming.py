@@ -94,17 +94,25 @@ class StreamingDecoder:
             "history": self.history,
             "steps_emitted": self.steps_emitted,
             "abs_step": self.abs_step,
+            # decision-history packing format: the in-place kernel route
+            # position-packs words (rotr(s, (t+1) mod (K-1))); a restore
+            # onto a decoder whose route packs differently would silently
+            # mis-decode the restored window, so it is refused instead.
+            "rotated_history": self._rotated,
         }
 
     def restore(self, state: dict[str, Any]) -> None:
+        rot = bool(state.get("rotated_history", False))
+        if rot != self._rotated:
+            raise ValueError(
+                "checkpoint decision-history packing "
+                f"({'position' if rot else 'state'}-ordered) does not match "
+                "this decoder's route; restore on a decoder with the same "
+                "backend routing (same platform/batch/KA9Q_TPU_INPLACE)")
         self.metrics = state["metrics"]
         self.history = state["history"]
         self.steps_emitted = int(state["steps_emitted"])
         self.abs_step = int(state["abs_step"])
-
-    def _emittable(self) -> int:
-        """Steps old enough that every survivor agrees on them."""
-        return max(0, (self.abs_step - self.traceback_depth) - self.steps_emitted)
 
     def push(self, symbols: jnp.ndarray) -> jnp.ndarray:
         """Consume symbols, return newly released data bits ``[B, m]``.
@@ -126,8 +134,14 @@ class StreamingDecoder:
         skip = 0
         if emit:
             skip = min(emit, max(0, (self.code.K - 1) - self.steps_emitted))
-        key = (n, h, emit, self.abs_step % nrot,
-               self.steps_emitted % nrot, skip)
+        if self._rotated:
+            # rotation phases are real static parameters of the program
+            key = (n, h, emit, self.abs_step % nrot,
+                   self.steps_emitted % nrot, skip)
+        else:
+            # phases are ignored by the non-rotated update and walk; fold
+            # them so every phase shares one compilation per shape
+            key = (n, h, emit, 0, 0, skip)
         fn = self._push_cache.get(key)
         if fn is None:
             fn = self._push_cache[key] = self._build_push(*key)

@@ -409,8 +409,13 @@ def phase_fns(code: CodeSpec, numeric: NumericSpec, num_data_bits: int,
 
         def _use_fields8(T: int) -> bool:
             a8 = _anchor8(T)  # a8 == T (mod 8) by construction
+            # the chainback side re-derives the anchor from num_data_bits
+            # (the walk tables carry no metadata through the fori_loop
+            # carries), so the route only engages for whole-frame decodes
+            # where the two derivations provably agree
             return (use_planes and lk4_ok and flags.k24_fields()
-                    and flags.k24_walk() == 8 and 0 <= a8 < T)
+                    and flags.k24_walk() == 8 and 0 <= a8 < T
+                    and T == num_data_bits + code.K - 1)
 
         def init_fn(batch):
             return acs.init_metrics(code, numeric, batch)

@@ -63,5 +63,7 @@ def test_measured_waterfalls_coding_gain_ordering():
     # The Cassini code's waterfall sits ~2 dB left of the others (its
     # points stop at 1.5 dB): even at 0.5 dB LESS Eb/N0 it must beat the
     # weakest code's best resolved sub-threshold point.
+    if not v615 or 2.0 not in v27:
+        pytest.skip("v615 or the v27 2 dB point not resolved in this data")
     assert max(v615) < min(e for e in v27 if e >= 2.0)
     assert v615[max(v615)] <= v27[2.0]

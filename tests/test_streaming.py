@@ -92,3 +92,28 @@ def test_streaming_pallas_backend_matches_jnp(rng, monkeypatch):
 
     out = bits_to_bytes(bits_ip[:, : n_bytes * 8])
     assert count_bit_errors(np.asarray(out), data) == 0
+
+
+def test_restore_refuses_mismatched_history_packing(rng, monkeypatch):
+    """A checkpoint taken on the rotated (in-place kernel) route must not
+    silently restore onto a decoder whose history is state-ordered: the
+    packing format is recorded and mismatches are refused."""
+    import pytest
+
+    code, numeric = VITERBI27, soft8_spec(2)
+    monkeypatch.setenv("KA9Q_TPU_INPLACE", "1")
+    rot = StreamingDecoder(code, numeric, batch=2, backend="pallas")
+    assert rot._rotated
+    data = rng.integers(0, 256, size=(2, 32), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data))
+    rot.push(syms[:, : 60 * code.R])
+    state = rot.checkpoint()
+    assert state["rotated_history"] is True
+
+    plain = StreamingDecoder(code, numeric, batch=2, backend="jnp")
+    with pytest.raises(ValueError, match="packing"):
+        plain.restore(state)
+    # same-route restore still works
+    rot2 = StreamingDecoder(code, numeric, batch=2, backend="pallas")
+    rot2.restore(state)
+    assert rot2.abs_step == rot.abs_step

@@ -28,7 +28,7 @@ from ka9q_viterbi_comparison_tpu.ops.encoder import encode_bits
 from ka9q_viterbi_comparison_tpu.utils.bits import bytes_to_bits
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-PUSH = int(sys.argv[2]) if len(sys.argv) > 2 else 2048   # trellis steps/push
+PUSH = int(sys.argv[2]) if len(sys.argv) > 2 else 2046   # steps/push; a multiple of K-1 keeps one steady program
 NPUSH = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
 code, numeric = VITERBI27, soft8_spec(2)
