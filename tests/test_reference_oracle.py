@@ -153,3 +153,31 @@ def test_reference_agreement_under_mild_noise(family, code, nbytes, rng):
                        jnp.asarray(noisy.astype(np.int32))[None], nbytes * 8))
     np.testing.assert_array_equal(ref_out, data[0])
     np.testing.assert_array_equal(ours[0], ref_out)
+
+
+@pytest.mark.parametrize("family,code", [("v27", VITERBI27), ("v29", VITERBI29)],
+                         ids=["v27", "v29"])
+def test_quantized_mode_bit_identical_to_ka9q_under_any_noise(family, code, rng):
+    """The ka9q-exact u8 quantized mode (ops/quantized.py) must decode
+    BYTE-IDENTICALLY to the compiled reference binaries on arbitrary
+    streams -- noiseless through far-beyond-threshold noise, agreeing even
+    where both decode incorrectly.  This is the true noisy-operating-point
+    bit-exactness claim (the int32 paths are deliberately cleaner than
+    ka9q near ties; PARITY.md)."""
+    from ka9q_viterbi_comparison_tpu.ops.quantized import decode_symbols_ka9q
+
+    nbytes = 32
+    for sigma in (0.0, 32.0, 64.0, 96.0, 128.0, 192.0):
+        for _ in range(3):
+            data, syms = _frame(code, nbytes, rng)
+            noisy = syms[0].astype(np.float64)
+            noisy += rng.normal(0.0, sigma, size=noisy.shape)
+            noisy = np.clip(np.rint(noisy), 0, 255).astype(np.uint8)
+
+            ref_out, _ = ref_oracle.decode(family, code.polys, noisy,
+                                           nbytes * 8)
+            ours = np.asarray(decode_symbols_ka9q(
+                code, jnp.asarray(noisy)[None], nbytes * 8))
+            np.testing.assert_array_equal(
+                ours[0], ref_out,
+                err_msg=f"{family} sigma={sigma}")
