@@ -146,3 +146,95 @@ def decode_symbols_ka9q(code: CodeSpec, symbols: jnp.ndarray,
     m = init_metrics_u8(code, symbols.shape[0])
     _, words = quantized_update(code, m, symbols)
     return cb.chainback(code, words, num_data_bits, endstate)
+
+
+# ---------------------------------------------------------------------------
+# SPIRAL's u8 SATURATING pipeline (the other quantized family).
+# ---------------------------------------------------------------------------
+
+SPIRAL_RENORM_THRESHOLD = 210  # generated literal in spiral27/29 (the
+# RENORMALIZE_THRESHOLD macro in those files is dead; spiral27.cpp:236)
+
+
+@functools.lru_cache(maxsize=8)
+def _spiral_branch_tables(code: CodeSpec) -> tuple:
+    """``(poly < 0) ^ parity((2*s2) & |poly|) ? 255 : 0``
+    (ref: spiral/spiral27.cpp:67-71; the negative-poly inversion)."""
+    if code.R != 2:
+        raise ValueError("spiral u8 quantized mode covers the rate-1/2 codes")
+    s2 = np.arange(code.num_states // 2, dtype=np.int64)
+    bt = np.stack([
+        (((_parity64((2 * s2) & p) ^ (1 if inv else 0)) * 255)
+         .astype(np.uint8))
+        for p, inv in zip(code.abs_polys(), code.inversions())
+    ])
+    return tuple(map(tuple, bt))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def spiral_update(code: CodeSpec, metrics: jnp.ndarray,
+                  symbols: jnp.ndarray):
+    """SPIRAL-exact u8 saturating symbol update (spiral27/spiral29).
+
+    Per input bit (ref: spiral/spiral27.cpp:130-254, machine-generated):
+    branch metric ``(bt0^sym0 avg bt1^sym1) >> 2`` (0..63, METRICSHIFT 1 +
+    PRECISIONSHIFT 2 fused into the single shift the generated code
+    emits), complement ``63 - m``, SATURATING u8 path adds
+    (``_mm_adds_epu8``), ``min_epu8`` select with ``cmpeq`` decisions --
+    ties go to the HIGH predecessor, opposite of ka9q -- and a per-bit
+    conditional renormalization: when metric[0] > 210, subtract the global
+    min (saturating) from every metric.  Init biases like ka9q (63 / 0).
+
+    Returns ``(metrics, words)`` like :func:`quantized_update`.
+    """
+    B, S = metrics.shape
+    S2 = S // 2
+    W = max(1, S // 32)
+    bt_np = np.asarray(_spiral_branch_tables(code), dtype=np.uint8)
+    bt0 = jnp.asarray(bt_np[0])[None, :]
+    bt1 = jnp.asarray(bt_np[1])[None, :]
+
+    def sat_add(a, b):
+        return jnp.minimum(a.astype(jnp.uint16) + b.astype(jnp.uint16),
+                           jnp.uint16(255)).astype(jnp.uint8)
+
+    def step(m, sym_t):
+        x0 = jnp.bitwise_xor(bt0, sym_t[:, 0:1])
+        x1 = jnp.bitwise_xor(bt1, sym_t[:, 1:2])
+        met = (((x0.astype(jnp.uint16) + x1.astype(jnp.uint16) + 1) >> 1)
+               >> 2).astype(jnp.uint8)  # avg_epu8 then >>2: 0..63
+        cmet = jnp.uint8(63) - met
+        lo, hi = m[:, :S2], m[:, S2:]
+        m23 = sat_add(lo, met)
+        m24 = sat_add(hi, cmet)
+        m25 = sat_add(lo, cmet)
+        m26 = sat_add(hi, met)
+        d0 = m24 <= m23   # min==m24 incl. ties: HIGH predecessor wins ties
+        d1 = m26 <= m25
+        sv0 = jnp.minimum(m24, m23)
+        sv1 = jnp.minimum(m26, m25)
+        new = jnp.stack([sv0, sv1], axis=-1).reshape(B, S)
+        # conditional per-frame renorm: metric[0] > 210 -> subtract min
+        mn = new.min(axis=-1, keepdims=True)
+        new = jnp.where(new[:, 0:1] > SPIRAL_RENORM_THRESHOLD, new - mn, new)
+        dec = jnp.stack([d0, d1], axis=-1).reshape(B, S).astype(jnp.uint32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        words = (dec.reshape(B, W, 32) << shifts).sum(axis=-1, dtype=jnp.uint32)
+        return new, words
+
+    m_final, words = jax.lax.scan(step, metrics,
+                                  jnp.transpose(symbols, (1, 0, 2)))
+    return m_final, jnp.transpose(words, (1, 0, 2))
+
+
+def decode_symbols_spiral(code: CodeSpec, symbols: jnp.ndarray,
+                          num_data_bits: int, endstate: int = 0):
+    """SPIRAL-exact decode of u8 offset-binary symbols; byte-identical to
+    the reference's spiral27/spiral29 binaries on any stream (asserted in
+    ``tests/test_reference_oracle.py``)."""
+    if symbols.ndim == 2:
+        symbols = symbols.reshape(symbols.shape[0], -1, code.R)
+    symbols = symbols.astype(jnp.uint8)
+    m = init_metrics_u8(code, symbols.shape[0])
+    _, words = spiral_update(code, m, symbols)
+    return cb.chainback(code, words, num_data_bits, endstate)

@@ -181,3 +181,29 @@ def test_quantized_mode_bit_identical_to_ka9q_under_any_noise(family, code, rng)
             np.testing.assert_array_equal(
                 ours[0], ref_out,
                 err_msg=f"{family} sigma={sigma}")
+
+
+@pytest.mark.parametrize("family,code",
+                         [("spiral27", VITERBI27), ("spiral29", VITERBI29)],
+                         ids=["spiral27", "spiral29"])
+def test_spiral_quantized_mode_bit_identical_under_any_noise(family, code, rng):
+    """The SPIRAL-exact u8 saturating mode must decode byte-identically to
+    the compiled spiral27/spiral29 binaries on arbitrary streams (incl.
+    the per-bit >210 renormalization path, which heavy noise exercises)."""
+    from ka9q_viterbi_comparison_tpu.ops.quantized import decode_symbols_spiral
+
+    nbytes = 32
+    for sigma in (0.0, 32.0, 64.0, 96.0, 128.0, 192.0):
+        for _ in range(3):
+            data, syms = _frame(code, nbytes, rng)
+            noisy = syms[0].astype(np.float64)
+            noisy += rng.normal(0.0, sigma, size=noisy.shape)
+            noisy = np.clip(np.rint(noisy), 0, 255).astype(np.uint8)
+
+            ref_out, _ = ref_oracle.decode(family, code.polys, noisy,
+                                           nbytes * 8)
+            ours = np.asarray(decode_symbols_spiral(
+                code, jnp.asarray(noisy)[None], nbytes * 8))
+            np.testing.assert_array_equal(
+                ours[0], ref_out,
+                err_msg=f"{family} sigma={sigma}")
