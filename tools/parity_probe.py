@@ -36,6 +36,8 @@ from ka9q_viterbi_comparison_tpu.configs import (
     ka9q_offset_binary_spec)
 from ka9q_viterbi_comparison_tpu.models.functional import decode_symbols
 from ka9q_viterbi_comparison_tpu.ops.encoder import encode_frames
+from ka9q_viterbi_comparison_tpu.ops.quantized import (
+    decode_symbols_ka9q, decode_symbols_spiral)
 
 import ref_oracle
 
@@ -55,6 +57,15 @@ CASES = {
     "v224": (VITERBI224, 8, ref_oracle.v224_true_endstate, 8),
 }
 
+# the quantized-exact modes: agreement must be 1.0 at EVERY operating
+# point (they replicate the reference's u8 arithmetic bit-for-bit)
+QUANTIZED_CASES = {
+    "v27+quantized": (VITERBI27, 32, decode_symbols_ka9q),
+    "v29+quantized": (VITERBI29, 32, decode_symbols_ka9q),
+    "spiral27+quantized": (VITERBI27, 32, decode_symbols_spiral),
+    "spiral29+quantized": (VITERBI29, 32, decode_symbols_spiral),
+}
+
 NUMERIC = ka9q_offset_binary_spec()
 A = 127.5  # bipolar amplitude of the {0,255} rails
 
@@ -66,15 +77,19 @@ def ebn0_db(sigma: float, R: int) -> float:
     return 10 * np.log10(R * A * A / (2 * sigma * sigma))
 
 
-def run_case(family, code, nbytes, es_fn, sigma, rng, n_frames):
+def run_case(family, code, nbytes, es_fn, sigma, rng, n_frames,
+             decode_fn=None):
     data = rng.integers(0, 256, size=(n_frames, nbytes), dtype=np.uint8)
     clean = np.asarray(
         encode_frames(code, NUMERIC, jnp.asarray(data))).astype(np.float64)
     noisy = clean + rng.normal(0.0, sigma, size=clean.shape)
     noisy = np.clip(np.rint(noisy), 0, 255).astype(np.uint8)
 
-    ours = np.asarray(decode_symbols(
-        code, NUMERIC, jnp.asarray(noisy.astype(np.int32)), nbytes * 8))
+    if decode_fn is not None:  # quantized-exact modes (ops/quantized.py)
+        ours = np.asarray(decode_fn(code, jnp.asarray(noisy), nbytes * 8))
+    else:
+        ours = np.asarray(decode_symbols(
+            code, NUMERIC, jnp.asarray(noisy.astype(np.int32)), nbytes * 8))
 
     ref = np.zeros_like(data)
     for i in range(n_frames):
@@ -109,6 +124,17 @@ def main():
                   f"agree={r['bit_agreement']:.5f} ident={r['frames_identical']:.3f}",
                   flush=True)
         out["families"][family] = rows
+    for label, (code, nbytes, fn) in QUANTIZED_CASES.items():
+        family = label.split("+")[0]
+        rows = []
+        for sigma in (0.0, 64.0, 128.0, 192.0):
+            r = run_case(family, code, nbytes, None, sigma, rng,
+                         max(4, N_FRAMES), decode_fn=fn)
+            rows.append(r)
+            assert r["bit_agreement"] == 1.0, (label, sigma, r)
+            print(f"{label:20s} sigma={sigma:5.1f} agree={r['bit_agreement']:.5f} "
+                  f"ident={r['frames_identical']:.3f}", flush=True)
+        out["families"][label] = rows
     path = pathlib.Path(__file__).resolve().parent.parent / "data" / "parity_agreement.json"
     path.write_text(json.dumps(out, indent=1))
     print(f"wrote {path}")
