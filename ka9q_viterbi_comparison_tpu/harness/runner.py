@@ -52,10 +52,10 @@ DEFAULT_BATCH = {
     "viterbi29": 512,
     "viterbi49": 256,
     "viterbi615": 256,  # VMEM caps the in-place kernel at 256 (tools/inplace_probe.py)
-    # K=24 at the depth-4 kernel (tools/k24_batch_pick.py, end-to-end incl.
-    # radix repack): B=8 trades 7 % update (4.24 vs 4.58 ksym/s) for 43 %
-    # chainback (7.26 vs 5.08 Mbit/s); B=16 exhausts HBM under the bench's
-    # timing chains.
+    # K=24 at the paired field-emitting kernels (round-5 harness A/B at
+    # KA9Q_TPU_K24_WALK=8): B=8 update 7.6 ksym/s / chainback 14 Mbit/s vs
+    # B=16's 7.3 k / 15.4 M — B=8 maximises the update margin and the
+    # walk is latency-bound (near-flat in batch).
     "viterbi224": 8,
 }
 
