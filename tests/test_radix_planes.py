@@ -210,3 +210,26 @@ def test_plane_tables_reject_small_trellis():
     words = jnp.zeros((16, 1, 8), jnp.uint32)
     with pytest.raises(ValueError):
         rp.build_plane_tables(small, words, 0)
+
+
+def test_dispatch_f8_route_end_to_end():
+    """The routed K>15 bench path (dispatch.phase_fns) with the default
+    width-8 walk: the update must take the paired field-emitting kernels
+    (dict with an f8 table, no decision words), and the chainback's
+    independently derived anchor must reproduce the data exactly --
+    pinning the two anchor derivations against each other on CPU."""
+    from ka9q_viterbi_comparison_tpu.ops.pallas import dispatch
+
+    code = CodeSpec("k17test", K=17, R=2, polys=(0o345567, 0o251331))
+    numeric = soft8_spec(2)
+    B, nbytes = 2, 4
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 256, size=(B, nbytes), dtype=np.uint8)
+    syms = encode_frames(code, numeric, jnp.asarray(data)).reshape(B, -1, code.R)
+
+    fns = dispatch.phase_fns(code, numeric, nbytes * 8, B)
+    init_fn, update_fn, chainback_fn, prepare_fn = fns[:4]
+    m, w, _ = update_fn(init_fn(B), prepare_fn(syms))
+    assert isinstance(w, dict) and "f8" in w and "f4" not in w
+    out = np.asarray(chainback_fn(w))
+    assert count_bit_errors(out, data) == 0
